@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+The reference's equivalent "session" is its mutable ``Config`` singleton
+pair (``globals.py:55-56``) plus a ProcessPoolExecutor
+(``ui/gradio_process.py:91-93``); here all knobs are explicit Spark conf
+— no mutable global state crosses the driver/executor boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size bounds per-batch memory for giant documents
+# (SURVEY.md §7.4-3): 512 docs/batch keeps a 10^4-span doc's batch
+# well under executor memory.
+ARROW_MAX_RECORDS = 512
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "parserpdf_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` then 32.  On a real
+    cluster the same conf applies minus ``master`` (spark-submit sets it).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cores = str(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores) if cores.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS)
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
