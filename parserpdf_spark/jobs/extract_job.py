@@ -1,0 +1,97 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Cluster use (the packaging the north rule names)::
+
+    zip -r engine.zip parserpdf_spark
+    spark-submit --py-files engine.zip parserpdf_spark/jobs/extract_job.py \
+        --input  <docs table dir | sf_dir with documents.parquet> \
+        --output <output dir> --chunks 64
+
+Local smoke (this sandbox)::
+
+    python parserpdf_spark/jobs/extract_job.py \
+        --input /root/testdata/sf0.001 --output /tmp/out --cores 8
+
+Re-running after a crash resumes from the last committed chunk
+(plans/checkpoint.py).  The reference's equivalent entry is
+``convert_batch`` (``ui/gradio_process.py:181``), which has no resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local-dev convenience: make the repo root importable when the job is run
+# as a script; under spark-submit --py-files the zip is already on the path
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+# python workers are forked with the *env* PYTHONPATH, not driver sys.path
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="docs parquet dir (doc_id, spans) or an sf dir "
+                         "containing documents.parquet to synthesize from")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--cores", default=None,
+                    help="local[N] cores; omit under spark-submit")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    if args.cores is not None:
+        from parserpdf_spark.session import get_spark
+
+        spark = get_spark(cores=args.cores, app_name="parserpdf_extract_job")
+    else:
+        spark = SparkSession.builder.appName("parserpdf_extract_job").getOrCreate()
+
+    from parserpdf_spark.plans.checkpoint import (
+        committed_chunks,
+        read_metrics,
+        run_checkpointed_extraction,
+    )
+
+    if os.path.exists(os.path.join(args.input, "documents.parquet")):
+        from parserpdf_spark.sources.synth import synth_docs_df
+
+        docs = synth_docs_df(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    already = committed_chunks(args.output)
+    if already:
+        print(f"resuming: {sorted(already)} already committed", file=sys.stderr)
+
+    committed = run_checkpointed_extraction(
+        spark, docs, args.output, n_chunks=args.chunks, run_id=args.run_id
+    )
+    metrics = read_metrics(spark, args.output)
+    by_status = {
+        r["status"]: r["n"]
+        for r in metrics.groupBy("status").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    print(json.dumps({
+        "committed_this_run": [r["chunk_id"] for r in committed],
+        "total_chunks": args.chunks,
+        "docs_by_status": by_status,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

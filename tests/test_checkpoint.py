@@ -1,0 +1,67 @@
+"""Checkpoint/resume tests — kill-mid-run simulation (SURVEY.md §7.2-7):
+commit part of the run, crash, rerun; verify no dupes, no gaps, and that
+already-committed chunks are not recomputed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parserpdf_spark.plans.checkpoint import (
+    committed_chunks,
+    read_extracted,
+    read_lineage,
+    read_metrics,
+    run_checkpointed_extraction,
+)
+from parserpdf_spark.sources.synth import synth_docs_df
+
+N_CHUNKS = 4
+
+
+def test_crash_resume_no_dupes_no_gaps(spark, sf_small, tmp_path):
+    out = str(tmp_path / "run")
+    docs = synth_docs_df(spark, sf_small)
+
+    # run 1: crash after 2 committed chunks
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed_extraction(
+            spark, docs, out, n_chunks=N_CHUNKS, fail_after_chunk=2
+        )
+    assert len(committed_chunks(out)) == 2
+
+    # partial state is readable and consistent (snapshot isolation)
+    partial_docs = read_metrics(spark, out).count()
+    assert 0 < partial_docs < 500
+
+    # run 2: resume — only the remaining chunks are computed
+    committed = run_checkpointed_extraction(spark, docs, out, n_chunks=N_CHUNKS)
+    assert len(committed) == N_CHUNKS - 2
+    assert sorted(committed_chunks(out)) == list(range(N_CHUNKS))
+
+    # full result: every doc exactly once
+    metrics = read_metrics(spark, out)
+    assert metrics.count() == 500
+    assert metrics.select("doc_id").distinct().count() == 500
+    assert metrics.filter(F.col("status") != "ok").count() == 0
+
+    # extracted spans match a direct (non-checkpointed) run
+    from parserpdf_spark.operators.extract import extract_docs
+
+    direct, _ = extract_docs(docs)
+    assert read_extracted(spark, out).count() == direct.count()
+
+    # lineage: one row per chunk, doc counts sum to the total
+    lineage = read_lineage(spark, out)
+    rows = lineage.collect()
+    assert len(rows) == N_CHUNKS
+    assert sum(r["n_docs"] for r in rows) == 500
+    # run 1 and run 2 have different run_ids in lineage
+    assert len({r["run_id"] for r in rows}) == 2
+
+
+def test_rerun_is_noop(spark, sf_small, tmp_path):
+    out = str(tmp_path / "run2")
+    docs = synth_docs_df(spark, sf_small).limit(40)
+    first = run_checkpointed_extraction(spark, docs, out, n_chunks=2)
+    assert len(first) == 2
+    second = run_checkpointed_extraction(spark, docs, out, n_chunks=2)
+    assert second == []
