@@ -1,38 +1,421 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship extraction at sf0.001.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives a DuckDB
+equivalent over the pre-registered parquet views (plus the committed
+golden parquets under /root/repo/goldens for the extraction family —
+the goldens are produced by the *pure-pandas* kernels via
+tools/make_goldens.py, independently of the Spark execution path).
+
+Cross-engine float policy: doubles are never aggregated directly —
+monetary columns are scaled per-row to bigint cents before SUM so
+results are bit-exact in both engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# executors fork with env PYTHONPATH; make parserpdf_spark importable there
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
+GOLDEN = os.path.join(_REPO, "goldens", "extract_sf0.01.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parserpdf_spark.sources.synth import synth_docs_df
+
+    return synth_docs_df(spark, sf_dir)
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parserpdf_spark.operators.extract import extract_docs
+
+    return extract_docs(_docs(spark, sf_dir))[0]
+
+
+def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parserpdf_spark.operators.extract import extract_docs
+
+    return extract_docs(_docs(spark, sf_dir))[1]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction of the interleaved docs table at sf0.001."""
+    return _extracted(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Extraction family (SURVEY.md §2.3, §2.6; the engine's core)
+# ---------------------------------------------------------------------------
+
+def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+W1: the whole pipeline — ordered markdown spans per document."""
+    return _extracted(spark, sf_dir)
+
+
+def q_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 analog: per-doc span-kind counts.  Oracle is *formula-based*
+    (word-count arithmetic over documents), independent of the kernels."""
+    e = _extracted(spark, sf_dir)
+    return (
+        e.groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("kind") == "heading", 1)).alias("n_heading"),
+            F.count(F.when(F.col("kind") == "para", 1)).alias("n_para"),
+            F.count(F.when(F.col("kind") == "image", 1)).alias("n_image"),
+            F.count(F.when(F.col("kind") == "caption", 1)).alias("n_caption"),
+        )
+    )
+
+
+def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/K4 analog: the per-doc metrics sidecar (status + counters)."""
+    return _metrics(spark, sf_dir).select(
+        "doc_id", "status", "n_input_spans", "n_output_spans", "n_images"
+    )
+
+
+def q_extract_order_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: span-sequence *order* invariant — md5 over the offset-ordered
+    serialized span stream per doc (order-sensitive even under the
+    driver's order-insensitive row hashing)."""
+    from parserpdf_spark.operators.extract import reassemble
+
+    r = reassemble(_extracted(spark, sf_dir))
+    serialized = F.transform(
+        F.col("spans"),
+        lambda s: F.concat_ws(
+            "\x1e",
+            s["offset"].cast("string"),
+            s["kind"],
+            F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+        ),
+    )
+    return r.select(
+        "doc_id", F.md5(F.concat_ws("\x1f", serialized)).alias("checksum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator family (SURVEY.md §2.1-2.2, §2.4-2.8) on the
+# TPC-H-ish tables — each demonstrates a Spark primitive with a plan that
+# pushes down/broadcasts as it should.
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A5: grouped aggregation (TPC-H Q1 shape); money in exact cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * F.round(F.lit(100) - F.col("l_discount") * 100).cast("bigint")
+            ).alias("sum_disc_scaled"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_ext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+C1+C2: the reference's extension gate (pdf_to_md.py:214-224) —
+    keep-with-status, filename algebra via regexp, no silent drops."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = F.concat_ws(
+        "/",
+        F.col("source"),
+        F.concat(
+            F.lit("doc_"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, ".html")
+            .when(F.col("doc_id") % 3 == 1, ".pdf")
+            .otherwise(".docx"),
+        ),
+    )
+    suffix = F.regexp_extract(path, r"\.([a-z]+)$", 1)
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        suffix.alias("suffix"),
+        F.when(
+            suffix.isin("pdf", "html", "docx", "doc"), F.lit("accepted")
+        ).otherwise(F.lit("skipped")).alias("status"),
+    )
+
+
+def q_broadcast_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: broadcast hash join orders ⋈ customer + grouped agg."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+def q_star_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: two-hop dimension join customer→nation→region (both broadcast)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-3 events per type by value (rank window, total order)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+def q_union_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/U1/U2: multi-pattern scan as two filtered scans + unionByName."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "family", F.lit("html")
+    )
+    pdf = docs.filter(F.col("doc_id") % 3 == 1).withColumn("family", F.lit("pdf"))
+    return (
+        html.unionByName(pdf)
+        .groupBy("family", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def q_event_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+A2: event-time bucketing (the batch shape of a streaming
+    windowed agg) — per (type, hour) counts and exact value cents."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: exact dedup via content-hash groupBy —
+    canonical = min doc_id per distinct text (hash-partitioned, scales)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_full": q_extract_full,
+        "extract_counts": q_extract_counts,
+        "extract_metrics": q_extract_metrics,
+        "extract_order_checksum": q_extract_order_checksum,
+        "pricing_summary": q_pricing_summary,
+        "ext_gate": q_ext_gate,
+        "broadcast_join_segments": q_broadcast_join_segments,
+        "star_join_regions": q_star_join_regions,
+        "window_topk": q_window_topk,
+        "union_scans": q_union_scans,
+        "event_hour_rollup": q_event_hour_rollup,
+        "dedup_exact": q_dedup_exact,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles.  documents/lineitem/... are pre-registered views.
+# The extraction family reads the committed pure-pandas goldens.
+# ---------------------------------------------------------------------------
+
+_WORDS = "len(list_filter(string_split(text, ' '), x -> x != ''))"
+
+_COUNT_FORMULAS = f"""
+WITH stats AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         doc_id AS nid,
+         {_WORDS} AS nw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_heading,
+       CAST(ceil(greatest(nw - 3, 0) / 12.0) AS BIGINT) AS n_para,
+       CAST(CASE WHEN nid % 3 = 2 THEN 2
+                 WHEN nid % 3 = 1 AND nid % 4 = 1 THEN 1
+                 ELSE 0 END AS BIGINT) AS n_image,
+       CAST(CASE WHEN nid % 3 = 1 AND nid % 4 = 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_caption
+FROM stats
+"""
+
+_METRICS_FORMULAS = f"""
+WITH stats AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         doc_id AS nid,
+         {_WORDS} AS nw
+  FROM documents
+), shape AS (
+  SELECT doc_id, nid, nw,
+         CAST(ceil(greatest(nw - 3, 0) / 12.0) AS INT) AS n_chunks,
+         (nid % 3 = 1 AND nid % 4 = 1) AS has_fig
+  FROM stats
+)
+SELECT doc_id,
+       'ok' AS status,
+       CAST(CASE WHEN nid % 3 = 0 THEN 2
+                 WHEN nid % 3 = 1 THEN 1 + n_chunks + CASE WHEN has_fig THEN 2 ELSE 0 END
+                 ELSE 4 END AS INT) AS n_input_spans,
+       CAST(1 + n_chunks
+            + CASE WHEN nid % 3 = 2 THEN 2
+                   WHEN has_fig THEN 2 ELSE 0 END AS INT) AS n_output_spans,
+       CAST(CASE WHEN nid % 3 = 2 THEN 2
+                 WHEN has_fig THEN 1 ELSE 0 END AS INT) AS n_images
+FROM shape
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_full": f"""
+            SELECT doc_id, kind, text, media_ref, "offset" AS offset
+            FROM read_parquet('{GOLDEN}')
+        """,
+        "extract_counts": _COUNT_FORMULAS,
+        "extract_metrics": _METRICS_FORMULAS,
+        "extract_order_checksum": f"""
+            SELECT doc_id,
+                   md5(string_agg(
+                       CAST("offset" AS VARCHAR) || chr(30) || kind || chr(30)
+                       || coalesce(text, '') || chr(30) || coalesce(media_ref, ''),
+                       chr(31) ORDER BY "offset")) AS checksum
+            FROM read_parquet('{GOLDEN}')
+            GROUP BY doc_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(100 - l_discount * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_scaled,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2025-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "ext_gate": """
+            WITH named AS (
+              SELECT doc_id,
+                     source || '/doc_' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0 THEN '.html'
+                               WHEN doc_id % 3 = 1 THEN '.pdf'
+                               ELSE '.docx' END AS path
+              FROM documents
+            )
+            SELECT doc_id, path,
+                   regexp_extract(path, '\\.([a-z]+)$', 1) AS suffix,
+                   CASE WHEN regexp_extract(path, '\\.([a-z]+)$', 1)
+                             IN ('pdf', 'html', 'docx', 'doc')
+                        THEN 'accepted' ELSE 'skipped' END AS status
+            FROM named
+        """,
+        "broadcast_join_segments": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "star_join_regions": """
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "window_topk": """
+            SELECT event_type, event_id, value, rn FROM (
+              SELECT event_type, event_id, value,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS INT) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "union_scans": """
+            SELECT family, lang, count(*) AS n_docs, sum(n_chars) AS chars
+            FROM (
+              SELECT 'html' AS family, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'pdf' AS family, lang, n_chars FROM documents WHERE doc_id % 3 = 1
+            )
+            GROUP BY family, lang
+        """,
+        "event_hour_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events
+            GROUP BY event_type, hour
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY md5(text)
+        """,
+    }
