@@ -242,6 +242,284 @@ def q_event_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline family: dedup / similarity / text analysis /
+# multimodal — first-class ops a 100 TB corpus pipeline needs (absent in
+# the reference, which has no corpus-level analysis).
+# ---------------------------------------------------------------------------
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted near-duplicates: docs with id<25 reappear as
+    id+100000 with the last word dropped (deterministic in both engines,
+    so near-dup oracles have non-trivial answers)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    dups = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+_AUG_SQL = """
+  aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+          FROM documents)
+    WHERE doc_id < 25
+  )
+"""
+
+_SHINGLES_SQL = """
+  shingles AS (
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+           )) AS shingle
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+          FROM aug)
+    WHERE len(toks) >= 3
+  )
+"""
+
+_JACCARD_SQL = f"""
+WITH {_AUG_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.8
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle self-join shape)."""
+    from parserpdf_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_aug_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) candidates verified by exact Jaccard —
+    must reproduce the exact all-pairs oracle at this threshold."""
+    from parserpdf_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_aug_docs(spark, sf_dir), threshold=0.8)
+
+
+def _simhash_oracle_sql() -> str:
+    from parserpdf_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ",\n".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_filter(string_split(lower(text), ' '), x -> x != ''))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST({sig} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) signatures — per-bit majority vote, one groupBy."""
+    from parserpdf_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return simhash(docs)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the planted-dup corpus: banded chunk
+    join + exact hamming verify.  max_hamming=3 < 4 chunks keeps the
+    pigeonhole completeness guarantee (a pair within distance 3 must
+    agree on >=1 of the 4 15-bit chunks)."""
+    from parserpdf_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_aug_docs(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    base = _simhash_oracle_sql().replace("FROM documents", "FROM aug")
+    # embed the augmented corpus CTE and compare all pairs exactly
+    inner = base.replace(
+        "WITH toks AS (", f"WITH {_AUG_SQL}, toks AS ("
+    ).replace("CAST(doc_id AS VARCHAR) AS doc_id", "doc_id")
+    return f"""
+WITH sigs AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted exact duplicates (vec_id<10 reappear as
+    vec_id+100000) so cosine≥0.95 pairs exist."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(dups)
+
+
+_AUG_EMB_SQL = """
+  aug_emb AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10
+  )
+"""
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    from parserpdf_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_aug_embeddings(spark, sf_dir), threshold=0.95)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for queries vec_id<5."""
+    from parserpdf_spark.operators.ann import ann_bruteforce_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe=all centroids ≡ brute force (same oracle) —
+    proves the bucketed path loses nothing when probing everything."""
+    from parserpdf_spark.operators.ann import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, every=100, n_probe=10_000
+    )
+
+
+_ANN_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.v, b.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos
+  FROM q, v b WHERE q.vec_id != b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parserpdf_spark.operators.textops import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parserpdf_spark.operators.textops import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parserpdf_spark.operators.textops import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs)
+
+
+def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parserpdf_spark.operators.textops import fingerprint_md5
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_md5(docs)
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints — sequential per doc, so a
+    pandas UDF; no SQL oracle (rows-only check + unit tests)."""
+    from parserpdf_spark.operators.textops import fingerprint_winnow
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_winnow(docs)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → decode stub → features."""
+    from parserpdf_spark.operators.multimodal import (
+        attach_fake_payloads,
+        decode_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_features(attach_fake_payloads(docs))
+
+
+def q_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling row expansion, aggregated per doc."""
+    from parserpdf_spark.operators.multimodal import (
+        attach_fake_payloads,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = frame_sample(attach_fake_payloads(docs))
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_no").alias("last_frame"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: exact dedup via content-hash groupBy —
     canonical = min doc_id per distinct text (hash-partitioned, scales)."""
@@ -269,6 +547,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_scans": q_union_scans,
         "event_hour_rollup": q_event_hour_rollup,
         "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_full_probe": q_ann_ivf_full_probe,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint_md5": q_fingerprint_md5,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "media_features": q_media_features,
+        "frame_counts": q_frame_counts,
     }
 
 
@@ -417,5 +709,101 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents
             GROUP BY md5(text)
+        """,
+        "jaccard_pairs": _JACCARD_SQL,
+        # LSH + verify must reproduce exact all-pairs at this threshold
+        "minhash_lsh_pairs": _JACCARD_SQL,
+        "simhash": _simhash_oracle_sql(),
+        "simhash_pairs": _simhash_pairs_oracle_sql(),
+        "embedding_dups": f"""
+            WITH {_AUG_EMB_SQL},
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug_emb)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS_SQL}, 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round({_COS_SQL}, 6) >= 0.95
+        """,
+        "ann_topk": _ANN_SQL,
+        "ann_ivf_full_probe": _ANN_SQL,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS INT) AS score_de,
+                CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS INT) AS score_en,
+                CAST(len(list_filter(t, x -> x IN ('el','la','de','que','los'))) AS INT) AS score_es,
+                CAST(len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS INT) AS score_fr
+              FROM toks
+            )
+            SELECT doc_id, score_de, score_en, score_es, score_fr,
+                   CASE
+                     WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                     WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                     WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                     ELSE 'fr'
+                   END AS pred_lang
+            FROM s
+        """,
+        "quality_score": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_words,
+                   CAST(length(text) AS INT) AS n_chars_text,
+                   CAST(len(list_filter(toks,
+                        x -> x IN ('the','a','of','and','is','to','in'))) AS INT)
+                       AS n_stopwords,
+                   CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                        AS INT) AS n_punct,
+                   round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+                         + (CAST(len(list_filter(toks,
+                              x -> x IN ('the','a','of','and','is','to','in')))
+                            AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5,
+                         6) AS quality
+            FROM t
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> x != '')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "media_features": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     'media_' || CAST(doc_id AS VARCHAR) || '.bin' AS media_ref,
+                     octet_length(encode(text)) AS n,
+                     list_sum(list_transform(
+                       range(1, CAST(least(octet_length(encode(text)), 64) AS BIGINT) + 1),
+                       i -> ascii(substr(text, CAST(i AS INT), 1)))) AS checksum
+              FROM documents
+            )
+            SELECT doc_id, media_ref,
+                   CAST(64 + n % 577 AS INT) AS width,
+                   CAST(64 + checksum % 389 AS INT) AS height,
+                   'FAKERGB' AS format,
+                   CAST((64 + n % 577) * 1000 // (64 + checksum % 389) AS BIGINT)
+                       AS aspect_millis
+            FROM m
+        """,
+        "frame_counts": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+                   CAST(ceil(octet_length(encode(text)) / 64.0) - 1 AS INT) AS last_frame
+            FROM documents
         """,
     }

@@ -1,0 +1,165 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline queries; ``queries``
+maps each to its seconds.  The flagship number is ``docs_per_sec``:
+end-to-end extraction throughput over a *stored* interleaved docs table
+(the production shape: scan parquet → one mapInPandas → count), measured
+after one warm-up run so Python-worker daemon startup isn't billed to
+the operator.  Scaling-efficiency evidence across two parallelism
+levels: ``python bench.py --scaling`` (results → BENCH/BASELINE.md).
+
+Usage:
+    python bench.py                  # headline run (driver contract)
+    python bench.py --scaling        # local[8] vs local[32] efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+if REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SCRATCH = os.environ.get("BENCH_SCRATCH", "/tmp/parserpdf_bench")
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))
+
+# headline set: the extraction pipeline (the product) + a representative
+# slice of the relational/auxiliary operator families
+HEADLINE = [
+    "extract_full",
+    "extract_order_checksum",
+    "pricing_summary",
+    "broadcast_join_segments",
+    "window_topk",
+    "event_hour_rollup",
+    "dedup_exact",
+]
+
+
+def _docs_table_path(sf_dir: str, replicate: int) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(SCRATCH, f"docs_{tag}_x{replicate}.parquet")
+
+
+def ensure_docs_table(spark, sf_dir: str, replicate: int) -> str:
+    """Materialize the synthesized interleaved docs table once (untimed);
+    benches then read it like any stored table."""
+    path = _docs_table_path(sf_dir, replicate)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from parserpdf_spark.sources.synth import synth_docs_df
+
+        synth_docs_df(spark, sf_dir, replicate=replicate).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _timed_extract(spark, docs_path: str) -> tuple[float, int, int]:
+    """(seconds, n_docs, n_rows) for scan → extract → count, warm."""
+    from parserpdf_spark.operators.extract import extract_combined
+
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    # full warm-up pass: spawns + warms every python worker and JITs the
+    # scan, so the timed run measures the operator, not daemon startup
+    extract_combined(docs).count()
+    t0 = time.time()
+    n_rows = extract_combined(docs).count()
+    return time.time() - t0, n_docs, n_rows
+
+
+def _run_headline(sf_dir: str, cpus: str) -> dict:
+    from parserpdf_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(cores=cpus, app_name="parserpdf_bench")
+    docs_path = ensure_docs_table(spark, sf_dir, REPLICATE)
+
+    qmap = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        t0 = time.time()
+        qmap[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    ext_sec, n_docs, _ = _timed_extract(spark, docs_path)
+    timings["extract_stored_table"] = round(ext_sec, 3)
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "extract_docs": n_docs,
+        "docs_per_sec": round(n_docs / ext_sec, 1),
+    }
+    spark.stop()
+    return result
+
+
+def _child_throughput(sf_dir: str, cpus: str) -> dict:
+    """Extraction throughput in a fresh subprocess (one JVM per
+    parallelism level — required for a clean local[N] comparison)."""
+    code = f"""
+import json, sys
+sys.path.insert(0, {REPO!r})
+import bench
+from parserpdf_spark.session import get_spark
+spark = get_spark(cores={cpus!r}, app_name="bench_scaling")
+path = bench.ensure_docs_table(spark, {sf_dir!r}, {REPLICATE})
+sec, n_docs, n_rows = bench._timed_extract(spark, path)
+print(json.dumps({{"cpus": {cpus}, "sec": round(sec, 3), "docs": n_docs,
+                   "rows": n_rows, "docs_per_sec": round(n_docs / sec, 1)}}))
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """The north rule's two-cluster-size evidence: same job, same stored
+    input, local[8] (N) vs local[32] (4N); efficiency = (rate32/rate8)/4."""
+    r8 = _child_throughput(sf_dir, "8")
+    r32 = _child_throughput(sf_dir, "32")
+    eff = round((r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "n_cores": r8,
+        "n4_cores": r32,
+        "sf": sf_dir,
+        "replicate": REPLICATE,
+        "target": 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(_run_headline(SF_DIR, CPUS)))

@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the dedup family a 100 TB training-data pipeline
+needs.  (The reference concatenates uploads without dedup,
+``utils/file_utils.py:413`` — absent there, first-class here.)
+
+Scale shapes:
+- exact: hash-groupBy (one shuffle of (hash, id) pairs, not texts).
+- n-gram Jaccard: shingle-explode self-join — the join key is the
+  shingle hash, so co-occurring docs meet without all-pairs.
+- MinHash+LSH: 64 permutations aggregated in ONE groupBy (64 agg
+  columns, map-side partial), banded into 16 buckets; candidate pairs
+  only inside a bucket; exact Jaccard verifies candidates.
+- SimHash: 64-bit signature via per-bit majority vote, one groupBy.
+- embedding cosine: block self-join on an LSH/band key or brute force
+  below a size threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# A cross-engine 60-bit token hash: md5 hex prefix → bigint.  Spark's
+# xxhash64/hash have no DuckDB twin; md5 exists in both, and 15 hex
+# chars (60 bits) always fit a signed 64-bit int.
+def md5_60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per doc, built with
+    JVM-side array ops (transform over token index ranges)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shingle self-join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
+    threshold, rounded to 6 dp.  The join key is the shingle, so cost is
+    Σ |bucket|² over shingles, not |corpus|².
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+NUM_PERMS = 64
+NUM_BANDS = 16  # 16 bands × 4 rows
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+) -> DataFrame:
+    """(doc_id, h0..h63): min over shingles of seeded 60-bit hashes.
+
+    One shuffle with map-side partial mins — the 10^12-scale shape (the
+    naive shingle×perm explode multiplies the shuffle by 64)."""
+    sh = word_shingles(docs, n=n, text_col=text_col)
+    aggs = [
+        F.min(md5_60(F.concat_ws("\x01", F.lit(str(i)), F.col("shingle")))).alias(
+            f"h{i}"
+        )
+        for i in range(num_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_bands: int = NUM_BANDS,
+    num_perms: int = NUM_PERMS,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates."""
+    rows = num_perms // num_bands
+    bands = []
+    for band in range(num_bands):
+        cols = [F.col(f"h{band * rows + r}") for r in range(rows)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("\x01", *[c.cast("string") for c in cols])).alias(
+                    "key"
+                ),
+            )
+        )
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold.
+
+    At high thresholds the 16×4 banding's recall is ≈1, so output
+    matches exact all-pairs Jaccard while only scoring candidates."""
+    candidates = lsh_candidate_pairs(minhash_signatures(docs, n=n, text_col=text_col))
+    exact = jaccard_pairs(docs, threshold=threshold, n=n, text_col=text_col)
+    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60  # md5_60 gives 60 usable bits
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over token hashes.
+
+    Pure relational: explode distinct tokens → one groupBy with 60
+    conditional-sum agg columns → recombine bits.  Ties (sum == 0)
+    resolve to bit 0.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    t = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
+    ).withColumn("th", md5_60(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = t.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via
+    band join on 4 × 15-bit chunks (a pair within distance 3 must agree
+    on ≥1 chunk — pigeonhole), then exact popcount verify."""
+    sig = simhash(docs, text_col=text_col)
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .alias("key"),
+            )
+        )
+    buckets = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("b")
+    ).select("doc_id", "simhash", "b.chunk", "b.key")
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "chunk", "key",
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "chunk", "key",
+    )
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a, b):
+    """Cosine between two array<double> columns, computed with the same
+    sequential fold in any engine (deterministic double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine≥threshold) — brute-force block self-join;
+    the honest baseline the ANN variants must agree with (see ann.py for
+    the bucketed scale path)."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def dedup_exact_keep_min(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the min-id doc per distinct content hash."""
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,184 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side built-in expressions (codegen'd, no Python);
+the one genuinely non-relational op (winnowing fingerprints) is an
+Arrow-batched pandas UDF.  Each op mirrors exactly into ANSI SQL so the
+DuckDB oracle can re-derive it (see ``__spark_entry__``).
+
+These extend the reference's capability surface the way a 100 TB corpus
+pipeline needs (the reference processes documents one file at a time
+and has no corpus-level analysis at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Language ID — n-gram/marker heuristic
+# ---------------------------------------------------------------------------
+# Marker word lists per language (frozen; tiny on purpose — the heuristic,
+# not the lists, is the operator).  Scores = marker-token occurrences.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, per-language marker scores, predicted lang).
+
+    Prediction = argmax score, ties broken by language code ascending —
+    a total order, so deterministic across engines.
+    """
+    toks = _tokens(F.col(text_col))
+
+    def marker_score(markers):
+        # NB: the lambda must be unary — pyspark passes the element index
+        # to binary lambdas
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scored = docs.select(
+        "doc_id",
+        *[
+            marker_score(markers).alias(f"score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    # first lang (ascending) reaching the max wins
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+PUNCT_RE = r"[^a-z0-9\s]"
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a blended [0,1] score.
+
+    All arithmetic is per-row double math (no aggregation), so results
+    are bit-identical across engines; the blended score is rounded to
+    6 dp for hash-stable comparison.
+    """
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[a-z0-9\s]", "")
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_text"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        F.round(
+            F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
+            + (n_stop.cast("double") / n_words.cast("double")) * 0.5,
+            6,
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting — whitespace + BPE-ish regex
+# ---------------------------------------------------------------------------
+# the BPE-ish segmentation: letter runs, digit runs, single other glyphs
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    lower = F.lower(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col(text_col))).alias("ws_tokens"),
+        F.regexp_count(lower, F.lit(BPE_RE)).alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whole-doc content fingerprint over normalized text (exact-dup key)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# Winnowing (rolling-hash) fingerprints — Stanford MOSS scheme:
+# k-gram rolling hashes, minimum per sliding window of w hashes.
+WINNOW_K = 8
+WINNOW_W = 4
+_B = 1000003
+_MOD = (1 << 61) - 1
+
+
+def _winnow_one(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    s = " ".join(text.lower().split())
+    n = len(s)
+    if n < k:
+        return []
+    # polynomial rolling hash over chars
+    hashes = []
+    h = 0
+    power = pow(_B, k - 1, _MOD)
+    for i, ch in enumerate(s):
+        h = (h * _B + ord(ch)) % _MOD
+        if i >= k:
+            h = (h - ord(s[i - k]) * power * _B) % _MOD
+        if i >= k - 1:
+            hashes.append(h)
+    # winnow: min of each window, dedup consecutive picks
+    out: list[int] = []
+    last_pick = -1
+    for i in range(0, len(hashes) - w + 1):
+        window = hashes[i : i + w]
+        m = min(window)
+        j = i + max(idx for idx, v in enumerate(window) if v == m)
+        if j != last_pick:
+            out.append(m)
+            last_pick = j
+    return out
+
+
+def fingerprint_winnow(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_fingerprints, min_fp, max_fp) via winnowing — the
+    rolling-hash scheme; pandas-UDF (Arrow-batched) since rolling state
+    is inherently sequential per doc."""
+    import pandas as pd
+
+    # NB: no type hints — a struct-returning scalar pandas UDF yields a
+    # pd.DataFrame, a signature the PySpark 4 type-hint prober rejects
+    @F.pandas_udf("struct<n_fp:int, min_fp:long, max_fp:long>")
+    def winnow(texts):
+        rows = []
+        for t in texts:
+            fps = _winnow_one(t or "")
+            rows.append(
+                {
+                    "n_fp": len(fps),
+                    "min_fp": min(fps) if fps else None,
+                    "max_fp": max(fps) if fps else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return docs.select("doc_id", winnow(F.col(text_col)).alias("w")).select(
+        "doc_id", "w.n_fp", "w.min_fp", "w.max_fp"
+    )

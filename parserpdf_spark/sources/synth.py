@@ -180,18 +180,39 @@ DOCS_DDL = (
 )
 
 
-def synth_docs_df(spark, sf_dir: str, giant_doc_ids=None, giant_spans: int = 0):
+def synth_docs_df(
+    spark,
+    sf_dir: str,
+    giant_doc_ids=None,
+    giant_spans: int = 0,
+    replicate: int = 1,
+    partitions: int | None = None,
+):
     """Spark path: documents.parquet → interleaved docs DataFrame.
 
     ``giant_doc_ids``/``giant_spans`` optionally inflate chosen docs to
     ``giant_spans`` html spans each (skew knob, FIXTURES.md §6).
+
+    ``replicate`` deterministically expands the corpus ×k for bench runs
+    (replica r of doc d gets doc_id "d_r{r}" with identical spans).
+
+    The scan is repartitioned to ``partitions`` (default: the session's
+    parallelism): the sandbox table is one tiny parquet split, whereas a
+    real 10^12-doc table scans as millions of splits — without this the
+    single mapInPandas task would serialize the whole corpus.
     """
     giant = {str(g) for g in (giant_doc_ids or [])}
     n_giant = int(giant_spans)
 
     def gen(it):
         for pdf in it:
-            out = synth_docs_pdf(pdf)
+            out = synth_docs_pdf(pdf[["doc_id", "text"]])
+            if "rep" in pdf.columns:
+                reps = pdf["rep"].astype(int).to_numpy()
+                out["doc_id"] = [
+                    d if r == 0 else f"{d}_r{r}"
+                    for d, r in zip(out["doc_id"], reps)
+                ]
             if giant:
                 mask = out["doc_id"].isin(giant)
                 if mask.any():
@@ -207,4 +228,11 @@ def synth_docs_df(spark, sf_dir: str, giant_doc_ids=None, giant_spans: int = 0):
             yield out
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return docs.mapInPandas(gen, schema=DOCS_DDL)
+    if replicate > 1:
+        from pyspark.sql import functions as F
+
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(int(replicate) - 1)))
+        )
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts).mapInPandas(gen, schema=DOCS_DDL)

@@ -1,0 +1,81 @@
+"""Structured Streaming ingestion — the scale analog of the reference's
+incremental source accumulation.
+
+The reference accumulates uploads statefully in the UI
+(``accumulate_files``, ``utils/file_utils.py:392-424``: concat new paths
+onto session state, re-filter, re-count).  The streaming equivalent is a
+file-source stream over the docs table directory: each new parquet file
+is a micro-batch, extraction runs incrementally, and exactly-once
+delivery comes from the checkpoint dir instead of Gradio session state.
+
+Also here: the event-time windowed aggregation shape (watermark + window)
+the reference entirely lacks (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parserpdf_spark.operators.extract import extract_combined
+from parserpdf_spark.schema import DOCS_SCHEMA
+
+
+def stream_docs(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of interleaved docs (one micro-batch per new
+    file drop — the S5 'accumulate uploads' analog)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def run_incremental_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Incrementally extract newly arrived doc files into parquet.
+
+    ``availableNow`` drains everything currently present and stops —
+    rerunning after more files land processes only the new ones (the
+    checkpoint dir tracks consumed files, replacing the reference's
+    session-state concat).  Returns the finished StreamingQuery.
+    """
+    docs = stream_docs(spark, input_dir)
+    query = (
+        extract_combined(docs)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling: 10-minute
+    watermark, 1-hour tumbling windows per event_type — the streaming
+    operator family the reference has none of."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )

@@ -1,0 +1,137 @@
+"""Unit/behavior tests for the training-data operator family:
+dedup (exact/jaccard/minhash/simhash/embedding), ANN (brute force + IVF
+recall), text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parserpdf_spark.operators.ann import ann_bruteforce_topk, ann_ivf_topk
+from parserpdf_spark.operators.dedup import (
+    dedup_exact_keep_min,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from parserpdf_spark.operators.multimodal import (
+    attach_fake_payloads,
+    decode_features,
+    decode_image_real,
+    frame_sample,
+)
+from parserpdf_spark.operators.textops import _winnow_one, fingerprint_winnow
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),  # near-dup of 1
+        (3, "completely different content about spark shuffle partitions and joins"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keep_min(docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact_keep_min(docs).collect())
+    assert kept == [1, 2, 3]  # 4 is an exact dup of 1; min id wins
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.8 < pairs[(1, 2)] < 1.0
+    assert (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(64))
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+    # near-dups agree on most permutations
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    assert agree >= 48
+
+
+def test_lsh_candidates_include_dups(docs):
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()}
+    assert (1, 4) in cands
+    assert (1, 2) in cands
+
+
+def test_simhash_properties(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[4]
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+
+
+def test_ann_ivf_recall(spark, sf_med):
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(emb, queries, k=5, every=50, n_probe=3).collect()
+    }
+    recall = len(exact & probed) / len(exact)
+    assert recall >= 0.4  # 3 of 10 buckets probed; sanity floor
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(emb, queries, k=5, every=50, n_probe=1000).collect()
+    }
+    assert full == exact  # probe-all ≡ brute force
+
+
+def test_winnow_determinism_and_shift_invariance():
+    a = _winnow_one("the quick brown fox jumps over the lazy dog")
+    b = _winnow_one("the  quick   brown fox jumps over the lazy dog")  # ws-normalized
+    assert a == b
+    assert a == _winnow_one("the quick brown fox jumps over the lazy dog")
+    assert _winnow_one("short") == []
+    # a long shared substring yields shared fingerprints despite a prefix
+    base = "zzzz unrelated prefix " + "the quick brown fox jumps over the lazy dog"
+    shared = set(a) & set(_winnow_one(base))
+    assert shared
+
+
+def test_winnow_udf_matches_local(spark, docs):
+    rows = {r["doc_id"]: (r["n_fp"], r["min_fp"], r["max_fp"])
+            for r in fingerprint_winnow(docs).collect()}
+    for doc_id, text in [(1, "the quick brown fox jumps over the lazy dog near the river bank")]:
+        fps = _winnow_one(text)
+        assert rows[doc_id] == (len(fps), min(fps), max(fps))
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_payloads(docs)
+    feats = {r["doc_id"]: r for r in decode_features(media).collect()}
+    assert len(feats) == 4
+    r = feats["1"]
+    n = len("the quick brown fox jumps over the lazy dog near the river bank")
+    assert r["width"] == 64 + n % 577
+    assert r["format"] == "FAKERGB"
+    assert r["aspect_millis"] == r["width"] * 1000 // r["height"]
+
+    frames = frame_sample(media, every_bytes=16).collect()
+    per_doc = {}
+    for row in frames:
+        per_doc.setdefault(row["doc_id"], []).append(row["frame_no"])
+    assert sorted(per_doc["1"]) == list(range((n + 15) // 16))
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_real(b"\x89PNG fake")
