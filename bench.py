@@ -67,18 +67,30 @@ def ensure_docs_table(spark, sf_dir: str, replicate: int) -> str:
     return path
 
 
+TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+
+
 def _timed_extract(spark, docs_path: str) -> tuple[float, int, int]:
-    """(seconds, n_docs, n_rows) for scan → extract → count, warm."""
+    """(best seconds of N, n_docs, n_rows) for scan → extract → count.
+
+    One full warm-up pass (worker spawn + JIT), then min-of-N timing:
+    this sandbox VM shows 2-3× run-to-run CPU-time noise (host-level
+    contention; a bare multiprocessing burn is stable, the same work
+    under Spark is not), so the minimum approximates the uncontended
+    cost — the standard protocol for benching on shared hosts.
+    """
     from parserpdf_spark.operators.extract import extract_combined
 
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
-    # full warm-up pass: spawns + warms every python worker and JITs the
-    # scan, so the timed run measures the operator, not daemon startup
-    extract_combined(docs).count()
-    t0 = time.time()
-    n_rows = extract_combined(docs).count()
-    return time.time() - t0, n_docs, n_rows
+    extract_combined(docs).count()  # warm-up
+    best, n_rows = None, 0
+    for _ in range(TIMED_RUNS):
+        t0 = time.time()
+        n_rows = extract_combined(docs).count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best, n_docs, n_rows
 
 
 def _run_headline(sf_dir: str, cpus: str) -> dict:

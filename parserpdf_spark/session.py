@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # 4 task waves per core: one straggler then costs 1/4 of a wave,
+        # not a whole wave (32 tasks on 32 cores has zero slack)
+        .config(
+            "spark.sql.files.minPartitionNum",
+            str(4 * (int(cores) if cores.isdigit() else 32)),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
