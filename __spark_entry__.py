@@ -76,6 +76,8 @@ def q_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("kind") == "para", 1)).alias("n_para"),
             F.count(F.when(F.col("kind") == "image", 1)).alias("n_image"),
             F.count(F.when(F.col("kind") == "caption", 1)).alias("n_caption"),
+            F.count(F.when(F.col("kind") == "table", 1)).alias("n_table"),
+            F.count(F.when(F.col("kind") == "list", 1)).alias("n_list"),
         )
     )
 
@@ -106,6 +108,57 @@ def q_extract_order_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return r.select(
         "doc_id", F.md5(F.concat_ws("\x1f", serialized)).alias("checksum")
+    )
+
+
+def q_extract_via_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded-input path: explode → skew-salted two-level
+    reassembly (threshold forced low so real docs take the salted path)
+    → extract.  Must equal extract_full's golden oracle exactly."""
+    from parserpdf_spark.operators.extract import extract_docs
+    from parserpdf_spark.operators.skew import assemble_spans, explode_docs
+
+    exploded = explode_docs(_docs(spark, sf_dir))
+    docs = assemble_spans(exploded, giant_threshold=20, num_salts=4)
+    return extract_docs(docs)[0]
+
+
+def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/K1: the markdown export view — per-doc markdown text assembled
+    from ordered spans, image spans rendered ``![](ref)`` exactly like
+    the reference's written .md (golden md line 1:
+    ``![](_page_0_Picture_1.jpeg)``, written at file_utils.py:555)."""
+    e = _extracted(spark, sf_dir)
+    rendered = F.when(
+        F.col("kind") == "image",
+        F.concat(F.lit("![]("), F.coalesce(F.col("media_ref"), F.lit("")), F.lit(")")),
+    ).otherwise(F.col("text"))
+    return (
+        e.select("doc_id", "offset", rendered.alias("md"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("offset", "md"))),
+                    lambda s: s["md"],
+                ),
+            ).alias("markdown")
+        )
+    )
+
+
+def q_page_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: page-range pruning ("0" = first page only, the reference's UI
+    default) applied before extraction; per-doc para counts shrink to
+    the page-0 chunks for pdf docs."""
+    from parserpdf_spark.operators.extract import extract_docs
+    from parserpdf_spark.operators.pages import filter_pages
+
+    docs = filter_pages(_docs(spark, sf_dir), "0")
+    e = extract_docs(docs)[0]
+    return e.groupBy("doc_id").agg(
+        F.count(F.when(F.col("kind") == "para", 1)).alias("n_para")
     )
 
 
@@ -539,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_counts": q_extract_counts,
         "extract_metrics": q_extract_metrics,
         "extract_order_checksum": q_extract_order_checksum,
+        "extract_via_exploded": q_extract_via_exploded,
+        "render_markdown": q_render_markdown,
+        "page_filter_counts": q_page_filter_counts,
         "pricing_summary": q_pricing_summary,
         "ext_gate": q_ext_gate,
         "broadcast_join_segments": q_broadcast_join_segments,
@@ -585,7 +641,9 @@ SELECT doc_id,
                  WHEN nid % 3 = 1 AND nid % 4 = 1 THEN 1
                  ELSE 0 END AS BIGINT) AS n_image,
        CAST(CASE WHEN nid % 3 = 1 AND nid % 4 = 1 THEN 1 ELSE 0 END
-            AS BIGINT) AS n_caption
+            AS BIGINT) AS n_caption,
+       CAST(CASE WHEN nid % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_table,
+       CAST(CASE WHEN nid % 6 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_list
 FROM stats
 """
 
@@ -607,7 +665,8 @@ SELECT doc_id,
                  WHEN nid % 3 = 1 THEN 1 + n_chunks + CASE WHEN has_fig THEN 2 ELSE 0 END
                  ELSE 4 END AS INT) AS n_input_spans,
        CAST(1 + n_chunks
-            + CASE WHEN nid % 3 = 2 THEN 2
+            + CASE WHEN nid % 3 = 0 THEN 1          -- table or list
+                   WHEN nid % 3 = 2 THEN 2
                    WHEN has_fig THEN 2 ELSE 0 END AS INT) AS n_output_spans,
        CAST(CASE WHEN nid % 3 = 2 THEN 2
                  WHEN has_fig THEN 1 ELSE 0 END AS INT) AS n_images
@@ -623,6 +682,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_counts": _COUNT_FORMULAS,
         "extract_metrics": _METRICS_FORMULAS,
+        "extract_via_exploded": f"""
+            SELECT doc_id, kind, text, media_ref, "offset" AS offset
+            FROM read_parquet('{GOLDEN}')
+        """,
+        "render_markdown": f"""
+            SELECT doc_id,
+                   string_agg(
+                     CASE WHEN kind = 'image'
+                          THEN '![](' || coalesce(media_ref, '') || ')'
+                          ELSE text END,
+                     chr(10) || chr(10) ORDER BY "offset") AS markdown
+            FROM read_parquet('{GOLDEN}')
+            GROUP BY doc_id
+        """,
+        "page_filter_counts": f"""
+            WITH stats AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS nid,
+                     {_WORDS} AS nw
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN nid % 3 = 1
+                             THEN least(ceil(greatest(nw - 3, 0) / 12.0), 12)
+                             ELSE ceil(greatest(nw - 3, 0) / 12.0)
+                        END AS BIGINT) AS n_para
+            FROM stats
+        """,
         "extract_order_checksum": f"""
             SELECT doc_id,
                    md5(string_agg(

@@ -76,14 +76,27 @@ def _span(kind, text, media_ref, offset):
     return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
 
 
-def synth_html_doc(doc_id: str, text: str) -> list[dict]:
-    """nav + article(h1 + paras) + footer, split into 2 html spans."""
+def synth_html_doc(doc_id: str, text: str, numeric_id: int) -> list[dict]:
+    """nav + article(h1 + table-or-list + paras) + footer, split into 2
+    html spans.  Even-id html docs (id%6==0) embed a 2×3 table built
+    from the first 6 words; odd (id%6==3) a 3-item list — so the table
+    and list extraction kinds are exercised corpus-wide, with count
+    formulas DuckDB can re-derive."""
     words = _words(text)
     head = " ".join(words[:HEAD_WORDS])
+    if numeric_id % 6 == 0:
+        cells = [escape(w) for w in words[:6]]
+        structure = (
+            "<table><tr>" + "".join(f"<th>{c}</th>" for c in cells[:3]) + "</tr>"
+            "<tr>" + "".join(f"<td>{c}</td>" for c in cells[3:6]) + "</tr></table>"
+        )
+    else:
+        items = [escape(" ".join(words[i : i + 2])) for i in (0, 2, 4)]
+        structure = "<ul>" + "".join(f"<li>{i}</li>" for i in items) + "</ul>"
     paras = "".join(
         f"<p>{escape(' '.join(c))}</p>" for c in _chunks(words[HEAD_WORDS:], PARA_WORDS)
     )
-    part1 = f"<body>{NAV}<article><h1>{escape(head)}</h1>"
+    part1 = f"<body>{NAV}<article><h1>{escape(head)}</h1>{structure}"
     part2 = f"{paras}</article>{FOOTER}</body>"
     return [_span("html", part1, None, 0), _span("html", part2, None, 1)]
 
@@ -155,7 +168,7 @@ def synth_doc(numeric_id: int, text: str) -> list[dict]:
     doc_id = str(numeric_id)
     family = numeric_id % 3
     if family == 0:
-        return synth_html_doc(doc_id, text)
+        return synth_html_doc(doc_id, text, numeric_id)
     if family == 1:
         return synth_pdf_doc(doc_id, text, numeric_id)
     return synth_mixed_doc(doc_id, text, numeric_id)
