@@ -1,0 +1,106 @@
+"""Physical-plan guards: the scale claims (zero-shuffle extraction,
+filter pushdown, column pruning, broadcast joins) asserted on
+`.explain` output so a regression that silently adds a shuffle or drops
+a pushdown fails CI."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def node_count(plan: str, name: str) -> int:
+    """Count physical nodes by their detail headers '(n) <Name>' —
+    the tree section prints every node a second time."""
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("(") and ") " in s:
+            label = s.split(") ", 1)[1]
+            if label == name or label.startswith(name + " "):
+                n += 1
+    return n
+
+
+def test_extraction_plan_has_no_exchange(spark, sf_small):
+    """The core claim: array-input extraction is one narrow stage."""
+    from parserpdf_spark.operators.extract import extract_combined
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.lit("<p>x</p>").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    plan = plan_of(extract_combined(docs))
+    assert node_count(plan, "Exchange") == 0
+    assert node_count(plan, "BroadcastExchange") == 0
+    assert "MapInArrow" in plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_med):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_pricing_summary(spark, sf_med))
+    # the shipdate filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: only the 6 needed columns are read
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark, sf_med):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_broadcast_join_segments(spark, sf_med))
+    assert node_count(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    plan2 = plan_of(m.q_star_join_regions(spark, sf_med))
+    assert node_count(plan2, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan2
+
+
+def test_page_filter_stays_array_local(spark, sf_small):
+    from parserpdf_spark.operators.extract import extract_combined
+    from parserpdf_spark.operators.pages import filter_pages
+    from parserpdf_spark.sources.synth import synth_docs_df
+
+    docs = filter_pages(synth_docs_df(spark, sf_small, partitions=4), "0")
+    plan = plan_of(extract_combined(docs))
+    # one Exchange is the synth scaffold's repartition of the raw text
+    # table; page filtering + extraction must not add another
+    assert node_count(plan, "Exchange") <= 1
+
+
+def test_salted_assembly_splits_hot_keys(spark, sf_small):
+    """The salted path's plan partially aggregates per (doc_id, salt)
+    before the final per-doc merge."""
+    from parserpdf_spark.operators.skew import assemble_spans, explode_docs
+    from parserpdf_spark.sources.synth import synth_docs_df
+
+    exploded = explode_docs(synth_docs_df(spark, sf_small, partitions=4))
+    plan = plan_of(assemble_spans(exploded, giant_threshold=20, num_salts=4))
+    assert "pmod" in plan  # the salt key
+    # giant-id split sides are broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
