@@ -295,6 +295,33 @@ def q_event_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + conditional cumsum windows) + per-session
+    aggregates — the batch shape of streaming session_window."""
+    from parserpdf_spark.operators.analytics import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30)
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(priority, status): hierarchical subtotals + grand total."""
+    from parserpdf_spark.operators.analytics import rollup_order_revenue
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return rollup_order_revenue(orders)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-and-carry window pattern (Spark lacks a
+    native as-of join); oracle is DuckDB's native ASOF JOIN."""
+    from parserpdf_spark.operators.analytics import asof_join_events_orders
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return asof_join_events_orders(ev, orders)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline family: dedup / similarity / text analysis /
 # multimodal — first-class ops a 100 TB corpus pipeline needs (absent in
@@ -602,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "union_scans": q_union_scans,
         "event_hour_rollup": q_event_hour_rollup,
+        "session_stats": q_session_stats,
+        "rollup_revenue": q_rollup_revenue,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -795,6 +825,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents
             GROUP BY md5(text)
+        """,
+        "session_stats": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, event_id, ts, value,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM s
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT))
+                       AS duration_sec,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "rollup_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "asof_join": """
+            WITH od AS (
+              SELECT k, t, o_orderkey FROM (
+                SELECT o_custkey % 100 AS k, o_orderdate AS t, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey % 100,
+                            o_orderdate ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+              ) WHERE rn = 1
+            ), ev AS (
+              SELECT user_id % 100 AS k, ts, event_id FROM events
+            )
+            SELECT ev.event_id, ev.k AS key, od.o_orderkey AS matched_orderkey
+            FROM ev ASOF LEFT JOIN od
+              ON ev.k = od.k AND od.t <= ev.ts
         """,
         "jaccard_pairs": _JACCARD_SQL,
         # LSH + verify must reproduce exact all-pairs at this threshold

@@ -28,11 +28,14 @@ def duck():
 
 
 def _norm(v):
+    # returns a homogeneous sortable key (rollup rows contain NULL keys)
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
+            return (1, "NaN")
+        return (1, repr(round(v, 9)))
+    return (1, str(v)) if not isinstance(v, (int, bool)) else (2, v)
 
 
 def _rows(frame):
