@@ -117,18 +117,17 @@ _ATTR_RE = re.compile(
 
 
 def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
-    if not blob or "=" not in blob and not blob.strip():
+    if not blob or blob.isspace():
         return []
     out = []
     for m in _ATTR_RE.finditer(blob):
-        val = m.group(2) if m.group(2) is not None else (
-            m.group(3) if m.group(3) is not None else m.group(4)
-        )
+        name, dq, sq, bare = m.groups()
+        val = dq if dq is not None else (sq if sq is not None else bare)
         if val is not None and "&" in val:
             from html import unescape
 
             val = unescape(val)
-        out.append((m.group(1).lower(), val))
+        out.append((name.lower(), val))
     return out
 
 
@@ -147,9 +146,7 @@ def parse_html(markup: str) -> Node:
                 data = unescape(data)
             cur.children.append(data)
         pos = m.end()
-        end_tag, start_tag, attr_blob, self_close = (
-            m.group(1), m.group(2), m.group(3), m.group(4),
-        )
+        end_tag, start_tag, attr_blob, self_close = m.groups()
         if end_tag is not None:
             tag = end_tag.lower()
             if tag in VOID_TAGS:
