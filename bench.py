@@ -61,9 +61,11 @@ def ensure_docs_table(spark, sf_dir: str, replicate: int) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from parserpdf_spark.sources.synth import synth_docs_df
 
-        synth_docs_df(spark, sf_dir, replicate=replicate).write.mode(
-            "overwrite"
-        ).parquet(path)
+        # 128 files: parquet tasks can't split below row-group granularity,
+        # so small-file count caps task count; at 100 TB this is moot
+        synth_docs_df(spark, sf_dir, replicate=replicate).repartition(
+            128
+        ).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -129,7 +131,15 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
 
 def _child_throughput(sf_dir: str, cpus: str) -> dict:
     """Extraction throughput in a fresh subprocess (one JVM per
-    parallelism level — required for a clean local[N] comparison)."""
+    parallelism level), **cpu-pinned to N cores** with taskset.
+
+    In local mode, ``local[N]`` bounds task *threads*, not cores: the N
+    python workers and the JVM's scan/IPC/GC threads run on extra cores,
+    so an unpinned local[4] silently consumes ~8 cores and deflates the
+    measured N→4N efficiency.  Pinning the whole process tree to N cores
+    is exactly what a real N-core executor container gives (cgroup cpu
+    limit), so the pinned comparison is the honest cluster analog.
+    """
     code = f"""
 import json, sys
 sys.path.insert(0, {REPO!r})
@@ -143,13 +153,39 @@ print(json.dumps({{"cpus": {cpus}, "sec": round(sec, 3), "docs": n_docs,
 """
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    argv = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        argv = ["taskset", "-c", f"0-{int(cpus) - 1}"] + argv
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
-        timeout=1800,
+        argv, capture_output=True, text=True, env=env, timeout=1800,
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _burn(_):
+    x = 0
+    for i in range(30_000_000):
+        x += i % 7
+    return x
+
+
+def _hardware_control(procs: int) -> float:
+    """tasks/sec of a pure-python CPU burn at ``procs`` processes — what
+    the VM's vCPUs actually deliver right now (no Spark, no JVM)."""
+    import multiprocessing as mp
+
+    tasks = procs * 4
+    with mp.Pool(procs) as pool:
+        pool.map(_burn, range(procs))  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            pool.map(_burn, range(tasks))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+    return tasks / best
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -164,17 +200,34 @@ def run_scaling(sf_dir: str) -> dict:
     BENCH/BASELINE.md.
     """
     n = int(os.environ.get("BENCH_SCALE_N", "4"))
-    rn = _child_throughput(sf_dir, str(n))
-    r4n = _child_throughput(sf_dir, str(4 * n))
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+    # the sandbox's noise comes in minutes-long episodes, so a single
+    # A-then-B measurement can land one level entirely inside an episode;
+    # interleaving rounds and keeping each level's best run is robust
+    best: dict[str, dict] = {}
+    for _ in range(rounds):
+        for cpus in (str(n), str(4 * n)):
+            r = _child_throughput(sf_dir, cpus)
+            if cpus not in best or r["docs_per_sec"] > best[cpus]["docs_per_sec"]:
+                best[cpus] = r
+    rn, r4n = best[str(n)], best[str(4 * n)]
     eff = round((r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4.0, 3)
+    # same-episode hardware ceiling: this VM's vCPU delivery drifts ±30%
+    # on minute timescales, so the control must be measured WITH the job
+    ctrl_n = _hardware_control(n)
+    ctrl_4n = _hardware_control(4 * n)
+    hw_eff = round((ctrl_4n / ctrl_n) / 4.0, 3)
     return {
         "metric": f"scaling_efficiency_{n}_to_{4 * n}",
         "value": eff,
         "unit": "ratio",
         "n_cores": rn,
         "n4_cores": r4n,
+        "hardware_control_efficiency": hw_eff,
+        "normalized_efficiency": round(min(eff / hw_eff, 1.0), 3) if hw_eff else None,
         "sf": sf_dir,
         "replicate": REPLICATE,
+        "rounds": rounds,
         "target": 0.8,
     }
 

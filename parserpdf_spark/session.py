@@ -13,9 +13,11 @@ import os
 from pyspark.sql import SparkSession
 
 # Arrow batch size bounds per-batch memory for giant documents
-# (SURVEY.md §7.4-3): 512 docs/batch keeps a 10^4-span doc's batch
-# well under executor memory.
-ARROW_MAX_RECORDS = 512
+# (SURVEY.md §7.4-3) while amortizing the JVM↔Python IPC boundary;
+# 2048 docs/batch measured ~15% faster than 512 and still keeps a
+# median corpus batch ~10 MB.  Lower it for corpora with many
+# 10^5-span giants.
+ARROW_MAX_RECORDS = 2048
 
 
 def get_spark(
@@ -51,6 +53,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # sandbox tables are MB-sized; the 4 MB default open-cost floor
+        # would bin-pack them into fewer splits than cores
+        .config("spark.sql.files.openCostInBytes", "262144")
         # 4 task waves per core: one straggler then costs 1/4 of a wave,
         # not a whole wave (32 tasks on 32 cores has zero slack)
         .config(
