@@ -295,6 +295,64 @@ def q_event_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers who never ordered."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: high-balance customer keys vs ordering
+    customer keys, tagged and unioned."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    ordering = orders.select(F.col("o_custkey").alias("k")).distinct()
+    both = rich.intersect(ordering).withColumn("tag", F.lit("rich_and_ordering"))
+    only_rich = rich.exceptAll(ordering).withColumn("tag", F.lit("rich_only"))
+    return both.unionByName(only_rich)
+
+
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority, one column per status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in statuses],
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL distinct vs exact, with the relative
+    error surfaced (no cross-engine oracle — sketches differ by
+    construction; rows-only check + the bound test in the suite)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.round(
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (lag + conditional cumsum windows) + per-session
     aggregates — the batch shape of streaming session_window."""
@@ -629,6 +687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "union_scans": q_union_scans,
         "event_hour_rollup": q_event_hour_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "set_ops": q_set_ops,
+        "pivot_orders": q_pivot_orders,
+        "approx_distinct": q_approx_distinct,
         "session_stats": q_session_stats,
         "rollup_revenue": q_rollup_revenue,
         "asof_join": q_asof_join,
@@ -825,6 +887,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents
             GROUP BY md5(text)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "set_ops": """
+            WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+                 ordering AS (SELECT DISTINCT o_custkey AS k FROM orders)
+            SELECT k, 'rich_and_ordering' AS tag FROM (
+              SELECT k FROM rich INTERSECT SELECT k FROM ordering)
+            UNION ALL
+            SELECT k, 'rich_only' AS tag FROM (
+              SELECT k FROM rich EXCEPT ALL SELECT k FROM ordering)
+        """,
+        "pivot_orders": """
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+                   CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+                   CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P
+            FROM orders GROUP BY o_orderpriority
         """,
         "session_stats": """
             WITH s AS (
