@@ -77,12 +77,12 @@ def main(argv=None) -> int:
     committed = run_checkpointed_extraction(
         spark, docs, args.output, n_chunks=args.chunks, run_id=args.run_id
     )
+    from pyspark.sql import functions as F
+
     metrics = read_metrics(spark, args.output)
     by_status = {
         r["status"]: r["n"]
-        for r in metrics.groupBy("status").agg(
-            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
-        ).collect()
+        for r in metrics.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
     print(json.dumps({
         "committed_this_run": [r["chunk_id"] for r in committed],

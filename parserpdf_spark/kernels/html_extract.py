@@ -131,6 +131,11 @@ def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
     return out
 
 
+# rawtext elements: their content is CDATA — tags inside don't nest
+# (a '</div>' inside a JS string must not close anything)
+RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title"})
+
+
 def parse_html(markup: str) -> Node:
     """Parse markup into a lightweight DOM tree rooted at ``#root``."""
     from html import unescape
@@ -138,8 +143,13 @@ def parse_html(markup: str) -> Node:
     root = Node("#root")
     cur = root
     pos = 0
-    for m in _TOKEN_RE.finditer(markup):
+    n = len(markup)
+    lower = None  # lazily lowered copy for rawtext close-tag search
+    it = _TOKEN_RE.finditer(markup)
+    for m in it:
         start = m.start()
+        if start < pos:
+            continue  # token consumed by a rawtext skip
         if start > pos:
             data = markup[pos:start]
             if "&" in data:
@@ -147,6 +157,27 @@ def parse_html(markup: str) -> Node:
             cur.children.append(data)
         pos = m.end()
         end_tag, start_tag, attr_blob, self_close = m.groups()
+        if (
+            start_tag is not None
+            and not self_close
+            and start_tag.lower() in RAWTEXT_TAGS
+        ):
+            # CDATA mode: take everything up to the matching close tag
+            tag = start_tag.lower()
+            if lower is None:
+                lower = markup.lower()
+            close = lower.find(f"</{tag}", pos)
+            node = Node(tag, _parse_attrs(attr_blob), cur)
+            if close == -1:
+                node.children.append(markup[pos:])
+                cur.children.append(node)
+                pos = n
+                break
+            node.children.append(markup[pos:close])
+            cur.children.append(node)
+            gt = markup.find(">", close)
+            pos = n if gt == -1 else gt + 1
+            continue
         if end_tag is not None:
             tag = end_tag.lower()
             if tag in VOID_TAGS:
@@ -472,6 +503,16 @@ def _emit_para_with_images(node: Node, out: list) -> None:
     segments: list[list] = [[]]
     images: list[str | None] = []
 
+    def has_image(n: Node) -> bool:
+        stack = list(n.children)
+        while stack:
+            c = stack.pop()
+            if not isinstance(c, str):
+                if c.tag in ("img", "x-media"):
+                    return True
+                stack.extend(c.children)
+        return False
+
     def walk(n: Node):
         for child in n.children:
             if isinstance(child, str):
@@ -479,6 +520,12 @@ def _emit_para_with_images(node: Node, out: list) -> None:
             elif child.tag in ("img", "x-media"):
                 images.append(child.attrs.get("src") or child.attrs.get("ref"))
                 segments.append([])
+            elif has_image(child):
+                # an image nested in an inline wrapper (<a><img></a>):
+                # recurse so it still surfaces at its source position
+                # (the wrapper's own formatting is forfeited — the
+                # media_ref contract wins)
+                walk(child)
             else:
                 # keep inline structure: re-wrap into a holder for rendering
                 segments[-1].append(child)

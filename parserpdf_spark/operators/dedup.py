@@ -28,15 +28,21 @@ def md5_60(col):
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per doc, built with
-    JVM-side array ops (transform over token index ranges)."""
+    JVM-side array ops (transform over token index ranges).  Docs with
+    fewer than ``n`` tokens yield no shingles (matching the SQL
+    formulation ``range(len - n + 1)``; a truncated partial gram would
+    silently diverge from the oracle)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    # greatest() keeps the sequence/slice args valid for short docs; the
+    # n_toks filter below then drops those rows entirely
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.col("shingle") != "")
+        docs.select("doc_id", F.size(toks).alias("n_toks"), grams.alias("grams"))
+        .filter(F.col("n_toks") >= n)
+        .select("doc_id", F.explode(F.array_distinct("grams")).alias("shingle"))
     )
 
 

@@ -99,6 +99,17 @@ def run_checkpointed_extraction(
     done = committed_chunks(output_dir)
     committed_now: list[dict] = []
 
+    # each chunk job filters the input by hash, which a scan can't prune —
+    # persist so N chunk jobs don't rescan (or re-synthesize) N times.
+    # At 100 TB granularity you'd instead run ONE pass writing
+    # partitionBy('chunk') and commit manifests per written chunk dir;
+    # per-chunk jobs are kept here because they give crash-commit
+    # granularity of one chunk, which the tests exercise.
+    from pyspark import StorageLevel
+
+    materialized = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    docs = materialized
+
     for chunk in range(n_chunks):
         if chunk in done:
             continue
@@ -123,7 +134,9 @@ def run_checkpointed_extraction(
         _commit_manifest(output_dir, record)
         committed_now.append(record)
         if fail_after_chunk is not None and len(committed_now) >= fail_after_chunk:
+            materialized.unpersist()
             raise RuntimeError(f"injected failure after chunk {chunk}")
+    materialized.unpersist()
     return committed_now
 
 

@@ -120,6 +120,57 @@ def test_split_invariance(markup, n_cuts):
     assert split == whole
 
 
+@given(html_markup())
+@settings(max_examples=120, deadline=None)
+def test_fast_tokenizer_equals_stdlib_tree(markup):
+    """The regex tokenizer must build the same tree as the stdlib
+    html.parser reference builder (parse_html_stdlib) — the safety net
+    for the 4× fast path."""
+    from parserpdf_spark.kernels.html_extract import parse_html, parse_html_stdlib
+
+    def sig(node):
+        if isinstance(node, str):
+            return ("#t", node)
+        return (
+            node.tag,
+            tuple(sorted(node.attrs.items())),
+            tuple(sig(c) for c in node.children),
+        )
+
+    assert sig(parse_html(markup)) == sig(parse_html_stdlib(markup))
+
+
+def test_rawtext_script_does_not_leak():
+    """Markup-like strings inside <script>/<style> must not corrupt the
+    DOM (CDATA semantics; found by review, repro'd, fixed)."""
+    from parserpdf_spark.kernels.html_extract import extract_html
+
+    spans = extract_html(
+        '<body><div><script>var a = "</div>"; if (a<b) {}</script>'
+        "<p>hi</p></div></body>"
+    )
+    assert [(s["kind"], s["text"]) for s in spans] == [("para", "hi")]
+    spans = extract_html("<body><style>p > a {}</style><p>ok</p></body>")
+    assert [(s["kind"], s["text"]) for s in spans] == [("para", "ok")]
+    # unterminated rawtext swallows the rest, emits nothing
+    assert extract_html("<body><script>var x = '<p>no</p>'") == []
+
+
+def test_image_nested_in_inline_wrapper_surfaces():
+    """<a><img></a> inside a paragraph must still emit the image span
+    (found by review, repro'd, fixed)."""
+    from parserpdf_spark.kernels.html_extract import extract_html
+
+    spans = extract_html(
+        '<body><p>see <a href="x"><img src="pic.png"></a> here</p></body>'
+    )
+    assert [(s["kind"], s["media_ref"]) for s in spans] == [
+        ("para", None),
+        ("image", "pic.png"),
+        ("para", None),
+    ]
+
+
 @given(st.lists(st.integers(0, 100), min_size=1, max_size=40, unique=True))
 @settings(max_examples=60, deadline=None)
 def test_pdf_offset_scramble_invariance(offsets):
