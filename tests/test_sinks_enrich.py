@@ -1,0 +1,61 @@
+"""Export sinks (K1/K2 file layout) and the stubbed enrichment stage
+(M4) + provider validation (C5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parserpdf_spark.operators.enrich import (
+    call_llm_real,
+    enrich_spans,
+    validate_provider,
+)
+from parserpdf_spark.operators.extract import extract_docs
+from parserpdf_spark.operators.sinks import export_markdown_files
+from parserpdf_spark.sources.synth import synth_docs_df
+
+
+def test_export_markdown_files(spark, sf_small, tmp_path):
+    out = str(tmp_path / "export")
+    docs = synth_docs_df(spark, sf_small).filter(
+        F.col("doc_id").isin("0", "1", "2")
+    )
+    extracted, _ = extract_docs(docs, persist=True)
+    n = export_markdown_files(extracted, out)
+    assert n == 3
+    # reference layout: {out}/{stem}/{stem}.md (file_utils.py:530-539)
+    md = open(os.path.join(out, "0", "0.md")).read()
+    assert md.startswith("# ")
+    assert "|---|" in md  # doc 0 embeds a table (id%6==0)
+    # doc 2 is mixed: interleaved image refs like the golden artifact
+    md2 = open(os.path.join(out, "2", "2.md")).read()
+    assert "![](_page_0_Picture_2.jpeg)" in md2
+    refs = open(os.path.join(out, "2", "media.txt")).read().splitlines()
+    assert refs == ["_page_0_Picture_2.jpeg", "_page_1_Figure_2.jpeg"]
+    # pure-text doc gets no media manifest
+    assert not os.path.exists(os.path.join(out, "0", "media.txt"))
+
+
+def test_enrichment_stage(spark, sf_small):
+    docs = synth_docs_df(spark, sf_small).limit(30)
+    extracted, _ = extract_docs(docs, persist=True)
+    enriched = enrich_spans(extracted)
+    rows = enriched.collect()
+    assert rows and all(r["kind"] in ("heading", "caption") for r in rows)
+    for r in rows:
+        toks = r["text"].split()
+        assert r["enrichment"] == f"[{toks[0]}..{toks[-1]}|{len(toks)}w]"
+
+
+def test_real_llm_is_stubbed():
+    with pytest.raises(NotImplementedError, match="stub"):
+        call_llm_real("x", "openai")
+
+
+def test_provider_validation():
+    assert validate_provider(" OpenAI ") == ("openai", None)
+    assert validate_provider("hf") == ("huggingface", None)
+    canonical, suggestion = validate_provider("anthropc")
+    assert canonical is None and suggestion == "anthropic"
+    assert validate_provider("zzz") == (None, None)
