@@ -78,6 +78,7 @@ def q_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("kind") == "caption", 1)).alias("n_caption"),
             F.count(F.when(F.col("kind") == "table", 1)).alias("n_table"),
             F.count(F.when(F.col("kind") == "list", 1)).alias("n_list"),
+            F.count(F.when(F.col("kind") == "code", 1)).alias("n_code"),
         )
     )
 
@@ -735,7 +736,8 @@ SELECT doc_id,
        CAST(CASE WHEN nid % 3 = 1 AND nid % 4 = 1 THEN 1 ELSE 0 END
             AS BIGINT) AS n_caption,
        CAST(CASE WHEN nid % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_table,
-       CAST(CASE WHEN nid % 6 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_list
+       CAST(CASE WHEN nid % 6 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_list,
+       CAST(CASE WHEN nid % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_code
 FROM stats
 """
 
@@ -758,7 +760,7 @@ SELECT doc_id,
                  ELSE 4 END AS INT) AS n_input_spans,
        CAST(1 + n_chunks
             + CASE WHEN nid % 3 = 0 THEN 1          -- table or list
-                   WHEN nid % 3 = 2 THEN 2
+                   WHEN nid % 3 = 2 THEN 3          -- 2 images + code block
                    WHEN has_fig THEN 2 ELSE 0 END AS INT) AS n_output_spans,
        CAST(CASE WHEN nid % 3 = 2 THEN 2
                  WHEN has_fig THEN 1 ELSE 0 END AS INT) AS n_images

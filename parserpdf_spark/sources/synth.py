@@ -148,17 +148,24 @@ def synth_pdf_doc(doc_id: str, text: str, numeric_id: int) -> list[dict]:
 
 
 def synth_mixed_doc(doc_id: str, text: str, numeric_id: int) -> list[dict]:
-    """Leading media + html content split around a second media span
-    (FIXTURES.md family C: images at exact source positions)."""
+    """Leading media + html content (with a fenced code block) split
+    around a second media span (FIXTURES.md family C: images at exact
+    source positions; the code block exercises kind='code' corpus-wide)."""
     words = _words(text)
     head = " ".join(words[:HEAD_WORDS])
+    code = (
+        "<pre><code>"
+        f"{escape(words[0])} = {numeric_id}\n{escape(words[1])} = {numeric_id % 7}"
+        "</code></pre>"
+    )
     chunks = _chunks(words[HEAD_WORDS:], PARA_WORDS)
     mid = (len(chunks) + 1) // 2
     paras1 = "".join(f"<p>{escape(' '.join(c))}</p>" for c in chunks[:mid])
     paras2 = "".join(f"<p>{escape(' '.join(c))}</p>" for c in chunks[mid:])
     return [
         _span("media", None, f"_page_0_Picture_{numeric_id % 5}.jpeg", 0),
-        _span("html", f"<body><article><h1>{escape(head)}</h1>{paras1}", None, 1),
+        _span("html", f"<body><article><h1>{escape(head)}</h1>{code}{paras1}",
+              None, 1),
         _span("media", None, f"_page_1_Figure_{numeric_id % 5}.jpeg", 2),
         _span("html", f"{paras2}</article></body>", None, 3),
     ]
