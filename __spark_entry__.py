@@ -120,7 +120,9 @@ def q_extract_via_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parserpdf_spark.operators.skew import assemble_spans, explode_docs
 
     exploded = explode_docs(_docs(spark, sf_dir))
-    docs = assemble_spans(exploded, giant_threshold=20, num_salts=4)
+    # threshold 8 < the largest synth doc's span count, so real docs
+    # genuinely take the salted two-level path inside this gate query
+    docs = assemble_spans(exploded, giant_threshold=8, num_salts=4)
     return extract_docs(docs)[0]
 
 

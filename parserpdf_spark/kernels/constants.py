@@ -18,6 +18,7 @@ DROP_TAGS = frozenset(
         "nav",
         "footer",
         "header",
+        "head",  # whole <head> incl. <title> is metadata, never content
         "aside",
         "form",
         "button",

@@ -41,9 +41,28 @@ VOID_TAGS = frozenset(
     }
 )
 
-# Elements whose open tag implicitly closes a same-name ancestor (we keep
-# this minimal: enough for real-world-ish fixture markup).
-_AUTOCLOSE = {"p", "li", "td", "th", "tr", "option"}
+# Opening tag → set of open ancestor tags it implicitly closes
+# (HTML5 optional end tags: an unclosed <td> must not swallow the next
+# <tr>, an unclosed <li> not the next <li>, …).
+_AUTOCLOSE = {
+    "p": {"p"},
+    "li": {"li"},
+    "option": {"option"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "tr": {"td", "th", "tr"},
+    "thead": {"td", "th", "tr", "tbody"},
+    "tbody": {"td", "th", "tr", "thead"},
+    "tfoot": {"td", "th", "tr", "tbody"},
+}
+
+
+def _apply_autoclose(cur: Node, tag: str) -> Node:
+    closees = _AUTOCLOSE.get(tag)
+    if closees:
+        while cur.tag in closees:
+            cur = cur.parent
+    return cur
 
 HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
@@ -73,8 +92,7 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_TAGS:
             self.cur.children.append(Node(tag, attrs, self.cur))
             return
-        if tag in _AUTOCLOSE and self.cur.tag == tag:
-            self.cur = self.cur.parent
+        self.cur = _apply_autoclose(self.cur, tag)
         node = Node(tag, attrs, self.cur)
         self.cur.children.append(node)
         self.cur = node
@@ -107,9 +125,9 @@ _TOKEN_RE = re.compile(
     r"|<![^>]*>"                                    # doctype / decls
     r"|</\s*([a-zA-Z][-a-zA-Z0-9:_]*)\s*>"          # end tag    (g1)
     r"|<([a-zA-Z][-a-zA-Z0-9:_]*)"                  # start tag  (g2)
-    r"((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*)"           # attr blob  (g3)
-    r"(/?)>",                                       # self-close (g4)
-    re.S,
+    r"((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*?)"          # attr blob  (g3, lazy:
+    r"(/?)>",                                       #  must not eat a final
+    re.S,                                           #  '/' — self-close g4)
 )
 _ATTR_RE = re.compile(
     r"([-a-zA-Z0-9:_]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+)))?"
@@ -193,8 +211,7 @@ def parse_html(markup: str) -> Node:
             if tag in VOID_TAGS or self_close:
                 cur.children.append(Node(tag, attrs, cur))
                 continue
-            if tag in _AUTOCLOSE and cur.tag == tag:
-                cur = cur.parent
+            cur = _apply_autoclose(cur, tag)
             node = Node(tag, attrs, cur)
             cur.children.append(node)
             cur = node
@@ -310,6 +327,10 @@ def inline_text(node: Node) -> str:
             # inline images are lifted to their own spans by the emitter;
             # contribute nothing to the inline text.
             continue
+        elif tag in K.DROP_TAGS:
+            # chrome/script embedded mid-sentence must not leak into
+            # extracted text
+            continue
         else:
             parts.append(inline_text(child))
     return _norm(" ".join(p for p in parts if p))
@@ -329,8 +350,10 @@ def _emit_list(node: Node, out: list, ordered: bool) -> None:
     for child in node.children:
         if isinstance(child, str) or child.tag != "li":
             continue
-        # nested lists inside an item render flattened with indent
+        # nested lists render as indented lines; the item's OWN text
+        # must exclude them (else child text duplicates into the bullet)
         nested: list[str] = []
+        own = Node("#li")
         for sub in child.children:
             if not isinstance(sub, str) and sub.tag in ("ul", "ol"):
                 sub_ordered = sub.tag == "ol"
@@ -341,9 +364,11 @@ def _emit_list(node: Node, out: list, ordered: bool) -> None:
                     j += 1
                     marker = f"{j}." if sub_ordered else "-"
                     nested.append(f"  {marker} {inline_text(li)}")
+            else:
+                own.children.append(sub)
         idx += 1
         marker = f"{idx}." if ordered else "-"
-        txt = inline_text(child)
+        txt = inline_text(own)
         if txt:
             lines.append(f"{marker} {txt}")
         lines.extend(nested)
@@ -517,6 +542,8 @@ def _emit_para_with_images(node: Node, out: list) -> None:
         for child in n.children:
             if isinstance(child, str):
                 segments[-1].append(child)
+            elif child.tag in K.DROP_TAGS:
+                continue  # chrome/script inside a paragraph: drop subtree
             elif child.tag in ("img", "x-media"):
                 images.append(child.attrs.get("src") or child.attrs.get("ref"))
                 segments.append([])

@@ -47,15 +47,31 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
 
 
 def jaccard_pairs(
-    docs: DataFrame, threshold: float, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    only_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle self-join.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
     threshold, rounded to 6 dp.  The join key is the shingle, so cost is
     Σ |bucket|² over shingles, not |corpus|².
+
+    ``only_pairs`` (doc_a, doc_b) restricts the computation to candidate
+    pairs: shingles are semi-joined to candidate docs before the
+    self-join and the pair counts are semi-joined to the candidates —
+    the verify stage of MinHash+LSH pays only for its candidates.
     """
     sh = word_shingles(docs, n=n, text_col=text_col)
+    if only_pairs is not None:
+        cand_docs = (
+            only_pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(only_pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -65,6 +81,8 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    if only_pairs is not None:
+        inter = inter.join(only_pairs, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -144,11 +162,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold.
 
+    The exact-Jaccard verify runs ONLY over the candidate pairs'
+    documents (``only_pairs``), so the cost is the MinHash pass plus a
+    shingle join over the candidate subset — never an all-pairs scan.
     At high thresholds the 16×4 banding's recall is ≈1, so output
-    matches exact all-pairs Jaccard while only scoring candidates."""
+    matches exact all-pairs Jaccard."""
     candidates = lsh_candidate_pairs(minhash_signatures(docs, n=n, text_col=text_col))
-    exact = jaccard_pairs(docs, threshold=threshold, n=n, text_col=text_col)
-    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    return jaccard_pairs(
+        docs, threshold=threshold, n=n, text_col=text_col, only_pairs=candidates
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +256,9 @@ def simhash_pairs(
 
 def cosine_expr(a, b):
     """Cosine between two array<double> columns, computed with the same
-    sequential fold in any engine (deterministic double math)."""
+    sequential fold in any engine (deterministic double math).  A zero
+    vector yields NULL (ANSI mode would otherwise raise DIVIDE_BY_ZERO,
+    and DuckDB's NaN sorts *greater* than any threshold)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -242,7 +266,8 @@ def cosine_expr(a, b):
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def embedding_dup_pairs(

@@ -61,12 +61,30 @@ def assemble_spans(
     pairs — bytes, not spans.
     """
     counts = exploded.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    giant_ids = counts.filter(F.col("n_spans") > giant_threshold).select("doc_id")
+    giant_rows = (
+        counts.filter(F.col("n_spans") > giant_threshold)
+        .select("doc_id")
+        .limit(1_000_001)
+        .collect()
+    )
+    giant_id_list = [r["doc_id"] for r in giant_rows]
 
-    # Giant-id set is tiny by construction (the skew tail) → broadcast
-    # both the semi and anti side: no shuffle of the span data to split it.
-    normal = exploded.join(F.broadcast(giant_ids), "doc_id", "left_anti")
-    giant = exploded.join(F.broadcast(giant_ids), "doc_id", "left_semi")
+    if len(giant_id_list) > 1_000_000:
+        # skew tail implausibly large — fall back to broadcast joins
+        # rather than a giant literal filter
+        giant_ids = counts.filter(F.col("n_spans") > giant_threshold).select(
+            "doc_id"
+        )
+        normal = exploded.join(F.broadcast(giant_ids), "doc_id", "left_anti")
+        giant = exploded.join(F.broadcast(giant_ids), "doc_id", "left_semi")
+    elif giant_id_list:
+        # the common case: a small collected skew tail becomes a literal
+        # isin predicate — the main pass splits with NO join and the
+        # input lineage is evaluated once per side, not three times
+        normal = exploded.filter(~F.col("doc_id").isin(giant_id_list))
+        giant = exploded.filter(F.col("doc_id").isin(giant_id_list))
+    else:
+        return assemble_spans_unsalted(exploded)
 
     normal_docs = normal.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(_span_struct())).alias("ordered")

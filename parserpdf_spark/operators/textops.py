@@ -88,8 +88,11 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_stop.alias("n_stopwords"),
         n_punct.alias("n_punct"),
         F.round(
-            F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
-            + (n_stop.cast("double") / n_words.cast("double")) * 0.5,
+            F.when(
+                n_words > 0,
+                F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
+                + (n_stop.cast("double") / n_words.cast("double")) * 0.5,
+            ).otherwise(F.lit(0.0)),  # empty doc: ANSI mode would raise on /0
             6,
         ).alias("quality"),
     )

@@ -153,9 +153,13 @@ def synth_mixed_doc(doc_id: str, text: str, numeric_id: int) -> list[dict]:
     source positions; the code block exercises kind='code' corpus-wide)."""
     words = _words(text)
     head = " ".join(words[:HEAD_WORDS])
+    # guard tiny/empty docs — a raw index error here would fail the TASK,
+    # not the row (the synth generator runs outside extract_document_safe)
+    w0 = words[0] if words else "empty"
+    w1 = words[1] if len(words) > 1 else w0
     code = (
         "<pre><code>"
-        f"{escape(words[0])} = {numeric_id}\n{escape(words[1])} = {numeric_id % 7}"
+        f"{escape(w0)} = {numeric_id}\n{escape(w1)} = {numeric_id % 7}"
         "</code></pre>"
     )
     chunks = _chunks(words[HEAD_WORDS:], PARA_WORDS)

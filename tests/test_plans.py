@@ -91,15 +91,19 @@ def test_page_filter_stays_array_local(spark, sf_small):
 
 def test_salted_assembly_splits_hot_keys(spark, sf_small):
     """The salted path's plan partially aggregates per (doc_id, salt)
-    before the final per-doc merge."""
+    before the final per-doc merge, and splits giant/normal docs with a
+    literal isin predicate (collected skew tail) — no join at all."""
     from parserpdf_spark.operators.skew import assemble_spans, explode_docs
     from parserpdf_spark.sources.synth import synth_docs_df
 
-    exploded = explode_docs(synth_docs_df(spark, sf_small, partitions=4))
-    plan = plan_of(assemble_spans(exploded, giant_threshold=20, num_salts=4))
+    exploded = explode_docs(
+        synth_docs_df(spark, sf_small, giant_doc_ids=["7"], giant_spans=900,
+                      partitions=4)
+    )
+    plan = plan_of(assemble_spans(exploded, giant_threshold=500, num_salts=4))
     assert "pmod" in plan  # the salt key
-    # giant-id split sides are broadcast, not shuffled
-    assert "BroadcastHashJoin" in plan
+    # the split is a literal filter, not a join of the span data
+    assert "Join" not in plan
 
 
 def test_aqe_enabled(spark):
