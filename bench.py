@@ -50,8 +50,12 @@ HEADLINE = [
 
 
 def _docs_table_path(sf_dir: str, replicate: int) -> str:
+    from parserpdf_spark.sources.synth import SYNTH_VERSION
+
     tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(SCRATCH, f"docs_{tag}_x{replicate}.parquet")
+    return os.path.join(
+        SCRATCH, f"docs_{tag}_x{replicate}_v{SYNTH_VERSION}.parquet"
+    )
 
 
 def ensure_docs_table(spark, sf_dir: str, replicate: int) -> str:
@@ -125,8 +129,79 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
         "extract_docs": n_docs,
         "docs_per_sec": round(n_docs / ext_sec, 1),
     }
+    result.update(_validate_sample(spark, docs_path, sf_dir))
     spark.stop()
     return result
+
+
+def _validate_sample(spark, docs_path: str, sf_dir: str, sample: int = 200) -> dict:
+    """Make 'span-equality validated' a measured fact, not a claim: the
+    bench run's own extraction output is checksummed per doc and compared
+    against the committed pure-pandas goldens for a sample of doc_ids."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from parserpdf_spark.operators.extract import extract_combined
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    golden = os.path.join(REPO, "goldens", f"extract_{tag}.parquet")
+    if not os.path.exists(golden):
+        return {"validation": f"skipped (no golden for {tag})"}
+
+    docs = spark.read.parquet(docs_path)
+    sample_ids = [str(i) for i in range(sample)]
+    out = extract_combined(docs.filter(F.col("doc_id").isin(sample_ids)))
+    spark_sums = {
+        r["doc_id"]: r["checksum"]
+        for r in (
+            out.filter(F.col("kind") != "_metrics")
+            .select("doc_id", "offset", "kind", "text", "media_ref")
+            .groupBy("doc_id")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct("offset", "kind", "text", "media_ref")
+                                )
+                            ),
+                            lambda s: F.concat_ws(
+                                "\x1e",
+                                s["offset"].cast("string"),
+                                s["kind"],
+                                F.coalesce(s["text"], F.lit("")),
+                                F.coalesce(s["media_ref"], F.lit("")),
+                            ),
+                        ),
+                    )
+                ).alias("checksum")
+            )
+            .collect()
+        )
+    }
+    duck_sums = dict(
+        duckdb.sql(
+            f"""
+            SELECT doc_id, md5(string_agg(
+                     CAST("offset" AS VARCHAR) || chr(30) || kind || chr(30)
+                     || coalesce(text, '') || chr(30) || coalesce(media_ref, ''),
+                     chr(31) ORDER BY "offset")) AS checksum
+            FROM read_parquet('{golden}')
+            WHERE CAST(doc_id AS BIGINT) < {sample}
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    mismatches = [
+        d for d in duck_sums if spark_sums.get(d) != duck_sums[d]
+    ]
+    return {
+        "validated_docs": len(duck_sums),
+        "validation": "pass" if not mismatches else
+        f"FAIL: {len(mismatches)} docs differ, e.g. {mismatches[:3]}",
+    }
 
 
 def _child_throughput(sf_dir: str, cpus: str) -> dict:

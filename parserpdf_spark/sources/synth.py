@@ -37,6 +37,11 @@ import pandas as pd
 HEAD_WORDS = 3
 PARA_WORDS = 12
 
+# bump on ANY change to the synthesized structure — bench caches
+# materialized docs tables keyed by this (stale tables otherwise fail
+# the bench's golden validation)
+SYNTH_VERSION = 2
+
 NAV = (
     "<nav><ul>"
     + "".join(f'<li><a href="/cat/{i}">Category {i}</a></li>' for i in range(12))

@@ -21,7 +21,11 @@ sys.path.insert(0, REPO)
 from parserpdf_spark.kernels.extract import extract_document_safe  # noqa: E402
 from parserpdf_spark.sources.synth import synth_doc  # noqa: E402
 
-SFS = {"sf0.001": "/root/testdata/sf0.001", "sf0.01": "/root/testdata/sf0.01"}
+SFS = {
+    "sf0.001": "/root/testdata/sf0.001",
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.1": "/root/testdata/sf0.1",
+}
 
 
 def build_golden(sf_dir: str) -> pd.DataFrame:
