@@ -342,15 +342,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     error surfaced (no cross-engine oracle — sketches differ by
     construction; rows-only check + the bound test in the suite)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.agg(
+    agg = li.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+    return agg.select(
+        "exact_parts",
+        "approx_parts",
         F.round(
-            F.abs(
-                F.approx_count_distinct("l_partkey", 0.02)
-                - F.countDistinct("l_partkey")
-            )
-            / F.countDistinct("l_partkey"),
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts"),
             4,
         ).alias("rel_err"),
     )
@@ -397,9 +398,13 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    # greatest(...,0): ANSI mode raises on a negative slice length for
+    # empty docs; DuckDB's list_slice just returns [] — clamp both sides
     dups = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+        ).alias("text"),
     )
     return docs.unionByName(dups)
 
@@ -868,7 +873,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
         """,
         "union_scans": """
-            SELECT family, lang, count(*) AS n_docs, sum(n_chars) AS chars
+            SELECT family, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
             FROM (
               SELECT 'html' AS family, lang, n_chars FROM documents WHERE doc_id % 3 = 0
               UNION ALL
@@ -1009,10 +1015,12 @@ def oracle_sql() -> dict[str, str]:
                        AS n_stopwords,
                    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
                         AS INT) AS n_punct,
-                   round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
-                         + (CAST(len(list_filter(toks,
-                              x -> x IN ('the','a','of','and','is','to','in')))
-                            AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5,
+                   round(CASE WHEN len(toks) > 0 THEN
+                           least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+                           + (CAST(len(list_filter(toks,
+                                x -> x IN ('the','a','of','and','is','to','in')))
+                              AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5
+                         ELSE 0.0 END,
                          6) AS quality
             FROM t
         """,
@@ -1032,12 +1040,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": """
             WITH m AS (
+              -- checksum sums the first 64 BYTES (hex-decode per byte),
+              -- matching the Spark stub's payload[:64] sum for any
+              -- encoding, not just ASCII corpora
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                      'media_' || CAST(doc_id AS VARCHAR) || '.bin' AS media_ref,
                      octet_length(encode(text)) AS n,
-                     list_sum(list_transform(
+                     coalesce(list_sum(list_transform(
                        range(1, CAST(least(octet_length(encode(text)), 64) AS BIGINT) + 1),
-                       i -> ascii(substr(text, CAST(i AS INT), 1)))) AS checksum
+                       i -> CAST(CONCAT('0x',
+                              substr(hex(encode(text)), CAST((i - 1) * 2 + 1 AS INT), 2))
+                            AS INT))), 0) AS checksum
               FROM documents
             )
             SELECT doc_id, media_ref,
