@@ -31,13 +31,20 @@ def parse_page_spec(spec: str) -> list[int]:
 
 def filter_pages(docs: DataFrame, spec: str) -> DataFrame:
     """Keep only ``pdf_block`` spans on pages in ``spec`` (html/media
-    spans are pageless and always pass) — array-local, zero shuffle."""
+    spans are pageless and always pass) — array-local, zero shuffle.
+
+    A pdf_block whose JSON is malformed or lacks a page field parses to
+    NULL; such spans are KEPT, not dropped — downstream the kernel's
+    ValueError path turns them into a ``status="error"`` metrics row.
+    Dropping them here would silently truncate a broken document and
+    report it ok."""
     pages = parse_page_spec(spec)
     return docs.withColumn(
         "spans",
         F.filter(
             F.col("spans"),
             lambda s: (s["kind"] != "pdf_block")
-            | F.get_json_object(s["text"], "$.page").cast("int").isin(pages),
+            | F.get_json_object(s["text"], "$.page").cast("int").isin(pages)
+            | F.get_json_object(s["text"], "$.page").cast("int").isNull(),
         ),
     )

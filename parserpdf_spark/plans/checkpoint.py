@@ -43,6 +43,12 @@ MANIFEST_DIR = "_manifest"
 CHUNKS_DIR = "chunks"
 
 
+def _fingerprint(n_chunks: int, chunk_id: int) -> str:
+    """The partitioning-scheme fingerprint recorded in each manifest;
+    resume validates it so chunks from a different n_chunks never mix."""
+    return f"xxhash64(doc_id)%{n_chunks}=={chunk_id}"
+
+
 def chunk_of(doc_id_col, n_chunks: int):
     """Deterministic chunk assignment — xxhash64 is a stable Spark
     built-in, so the same doc lands in the same chunk on every run."""
@@ -97,6 +103,19 @@ def run_checkpointed_extraction(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     done = committed_chunks(output_dir)
+    # resuming under a different partitioning scheme (n_chunks changed)
+    # would silently mix two incompatible hash spaces: some docs
+    # extracted twice, others never.  A manifest's fingerprint encodes
+    # the scheme; any mismatch is a hard error, never a skip.
+    for chunk_id, rec in done.items():
+        expect = _fingerprint(n_chunks, chunk_id)
+        if rec.get("input_fingerprint") != expect:
+            raise ValueError(
+                f"committed chunk {chunk_id} was written under partitioning "
+                f"{rec.get('input_fingerprint')!r}, but this run uses "
+                f"{expect!r} — resume with the original n_chunks or use a "
+                "fresh output_dir"
+            )
     committed_now: list[dict] = []
 
     # each chunk job filters the input by hash, which a scan can't prune —
@@ -129,7 +148,7 @@ def run_checkpointed_extraction(
             "chunk_id": chunk,
             "n_docs": stats["n_docs"],
             "n_spans": stats["n_spans"],
-            "input_fingerprint": f"xxhash64(doc_id)%{n_chunks}=={chunk}",
+            "input_fingerprint": _fingerprint(n_chunks, chunk),
         }
         _commit_manifest(output_dir, record)
         committed_now.append(record)

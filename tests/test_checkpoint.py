@@ -58,6 +58,23 @@ def test_crash_resume_no_dupes_no_gaps(spark, sf_small, tmp_path):
     assert len({r["run_id"] for r in rows}) == 2
 
 
+def test_resume_with_changed_n_chunks_raises(spark, sf_small, tmp_path):
+    """Resuming under a different partitioning (n_chunks) must be a hard
+    error — silently mixing two hash spaces extracts some docs twice and
+    others never."""
+    out = str(tmp_path / "run3")
+    docs = synth_docs_df(spark, sf_small).limit(40)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed_extraction(
+            spark, docs, out, n_chunks=4, fail_after_chunk=1
+        )
+    with pytest.raises(ValueError, match="partitioning"):
+        run_checkpointed_extraction(spark, docs, out, n_chunks=8)
+    # the original scheme still resumes cleanly
+    run_checkpointed_extraction(spark, docs, out, n_chunks=4)
+    assert sorted(committed_chunks(out)) == [0, 1, 2, 3]
+
+
 def test_rerun_is_noop(spark, sf_small, tmp_path):
     out = str(tmp_path / "run2")
     docs = synth_docs_df(spark, sf_small).limit(40)

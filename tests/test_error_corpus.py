@@ -40,6 +40,21 @@ def test_corpus_with_malformed_fraction(spark, sf_small):
     assert ok_docs == 475
 
 
+def test_page_filter_keeps_malformed_spans(spark, sf_small):
+    """filter_pages must not swallow a broken doc: a pdf_block with
+    unparseable JSON has page=NULL — it stays in the doc so the kernel
+    surfaces status='error' instead of silently truncating to 'ok'."""
+    from parserpdf_spark.operators.pages import filter_pages
+
+    filtered = filter_pages(_corrupt(spark, sf_small), "0")
+    _, metrics = extract_docs(filtered, persist=True)
+    by_status = {
+        r["status"]: r["n"]
+        for r in metrics.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_status == {"ok": 475, "error": 25}
+
+
 def test_exploded_path_with_malformed_fraction(spark, sf_small):
     """The salted exploded path preserves the same error contract."""
     from parserpdf_spark.operators.skew import assemble_spans
