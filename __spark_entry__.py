@@ -31,6 +31,9 @@ if _REPO not in os.environ.get("PYTHONPATH", ""):
     ).rstrip(os.pathsep)
 
 GOLDEN = os.path.join(_REPO, "goldens", "extract_sf0.01.parquet")
+GOLDEN_FILES = os.path.join(_REPO, "goldens", "extract_files.parquet")
+GOLDEN_INGEST = os.path.join(_REPO, "goldens", "file_ingest_status.parquet")
+FIXTURE_FILES = os.path.join(_REPO, "fixtures", "files_corpus")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,6 +151,39 @@ def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("markdown")
         )
+    )
+
+
+def q_extract_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end *file* path (reference ``convert_files``,
+    ``converters/pdf_to_md.py:121-189``): binaryFile scan of a real
+    on-disk corpus (committed fixtures: .html/.htm/.docx/.pdf/…) →
+    files_to_docs bridge → extraction.  sf-independent by design; the
+    oracle is the pure-python golden over the same files."""
+    from parserpdf_spark.operators.extract import extract_docs
+    from parserpdf_spark.sources.files import files_to_docs, ingested_docs
+    from parserpdf_spark.sources.scans import scan_files
+
+    files = scan_files(spark, FIXTURE_FILES, "*", with_content=True)
+    docs = ingested_docs(files_to_docs(files))
+    return extract_docs(docs)[0]
+
+
+def q_file_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-with-status over the scanned corpus: every file yields one
+    row — ok / error (corrupt docx) / needs_prechunk (pdf binary) /
+    skipped — mirroring the reference's extension gate
+    (``pdf_to_md.py:214-224``) with no silent drops."""
+    from parserpdf_spark.sources.files import files_to_docs
+    from parserpdf_spark.sources.scans import scan_files
+
+    files = scan_files(spark, FIXTURE_FILES, "*", with_content=True)
+    return files_to_docs(files).select(
+        "doc_id",
+        # binaryFile reports URIs (file:/…); the golden stores plain paths
+        F.regexp_replace("src_path", "^file:", "").alias("src_path"),
+        "ingest_status",
+        F.size("spans").alias("n_spans"),
     )
 
 
@@ -687,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_order_checksum": q_extract_order_checksum,
         "extract_via_exploded": q_extract_via_exploded,
         "render_markdown": q_render_markdown,
+        "extract_from_files": q_extract_from_files,
+        "file_ingest_gate": q_file_ingest_gate,
         "page_filter_counts": q_page_filter_counts,
         "pricing_summary": q_pricing_summary,
         "ext_gate": q_ext_gate,
@@ -796,6 +834,14 @@ def oracle_sql() -> dict[str, str]:
                      chr(10) || chr(10) ORDER BY "offset") AS markdown
             FROM read_parquet('{GOLDEN}')
             GROUP BY doc_id
+        """,
+        "extract_from_files": f"""
+            SELECT doc_id, kind, text, media_ref, "offset" AS offset
+            FROM read_parquet('{GOLDEN_FILES}')
+        """,
+        "file_ingest_gate": f"""
+            SELECT doc_id, src_path, ingest_status, n_spans
+            FROM read_parquet('{GOLDEN_INGEST}')
         """,
         "page_filter_counts": f"""
             WITH stats AS (

@@ -1,0 +1,120 @@
+"""Scanned-file-bytes → docs(doc_id, spans) ingestion bridge.
+
+The reference's core use is *path in, markdown out*: ``convert_files``
+walks uploaded paths and hands each file to a converter
+(``converters/pdf_to_md.py:121-189``, parse call at ``:159``; HTML
+collection ``utils/file_utils.py:452-463``).  This module is the Spark
+analog: it turns a ``binaryFile`` scan (sources/scans.py, columns
+path/content) into the engine's canonical interleaved docs table, so
+``scan_html → files_to_docs → extract_docs`` runs end-to-end from a
+directory of real files.
+
+Routing (keep-with-status, mirroring the reference's extension gate at
+``pdf_to_md.py:214-224`` — no silent drops):
+
+- ``.html``/``.htm``  → decode bytes → one ``kind="html"`` span
+- ``.docx``/``.doc``  → stdlib OOXML shim (kernels/docx_extract.py) →
+  one ``kind="html"`` span; unparseable files (corrupt zip, legacy OLE2
+  ``.doc``) become ``ingest_status="error"`` rows
+- ``.pdf``            → ``ingest_status="needs_prechunk"``: PDF *binary*
+  layout analysis requires an external pre-chunker (a PDF raster/parse
+  library this container doesn't ship).  The contract: the pre-chunker
+  emits ``pdf_block`` spans (JSON ``{page,bbox,font_size,text}`` per
+  block) into the docs table, which IS the engine's pdf path
+  (kernels/pdf_extract.py) — exercised everywhere via the synthesized
+  table.  Bytes are carried, never parsed here.
+- anything else       → ``ingest_status="skipped"``
+
+Scale shape: one ``mapInPandas`` over Arrow batches of (path, content) —
+narrow, zero shuffle, same plan position as the extraction kernel; the
+binaryFile scan already splits across executors per file.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+
+from parserpdf_spark.kernels.docx_extract import docx_to_html
+
+FILES_DOCS_DDL = (
+    "doc_id string, src_path string, ingest_status string, "
+    "ingest_error string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _html_span(text: str) -> list[dict[str, Any]]:
+    return [{"kind": "html", "text": text, "media_ref": None, "offset": 0}]
+
+
+def route_file(path: str, content: bytes) -> dict[str, Any]:
+    """Pure-python routing for one scanned file (also used by the golden
+    generator, keeping goldens independent of the Spark execution path)."""
+    name = path.rsplit("/", 1)[-1]
+    stem, dot, ext = name.rpartition(".")
+    suffix = f".{ext.lower()}" if dot else ""
+    doc_id = stem if dot else name
+    row = {
+        "doc_id": doc_id,
+        "src_path": path,
+        "ingest_status": "ok",
+        "ingest_error": None,
+        "spans": [],
+    }
+    if suffix in (".html", ".htm"):
+        try:
+            row["spans"] = _html_span(bytes(content).decode("utf-8"))
+        except UnicodeDecodeError as exc:
+            row["ingest_status"] = "error"
+            row["ingest_error"] = f"UnicodeDecodeError: {exc}"
+    elif suffix in (".docx", ".doc"):
+        try:
+            row["spans"] = _html_span(docx_to_html(bytes(content)))
+        except ValueError as exc:
+            row["ingest_status"] = "error"
+            row["ingest_error"] = str(exc)
+    elif suffix == ".pdf":
+        row["ingest_status"] = "needs_prechunk"
+        row["ingest_error"] = (
+            "pdf binary parse requires the external pre-chunker; feed its "
+            "pdf_block spans to the docs table instead"
+        )
+    else:
+        row["ingest_status"] = "skipped"
+        row["ingest_error"] = f"unsupported extension {suffix!r}"
+    return row
+
+
+def files_to_docs(files: DataFrame) -> DataFrame:
+    """binaryFile scan (path, …, content) → docs rows with ingest status.
+
+    Every scanned file yields exactly one row — accepted files carry
+    spans, everything else carries a status + reason (keep-with-status).
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                route_file(p, c) for p, c in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_path", "ingest_status", "ingest_error",
+                    "spans",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=FILES_DOCS_DDL
+    )
+
+
+def ingested_docs(files_docs: DataFrame) -> DataFrame:
+    """The extractable subset, in the canonical docs(doc_id, spans) shape."""
+    return files_docs.filter(
+        files_docs["ingest_status"] == "ok"
+    ).select("doc_id", "spans")
