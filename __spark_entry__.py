@@ -591,12 +591,34 @@ _COS_SQL = (
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
+_EMB_DUPS_SQL = f"""
+    WITH {_AUG_EMB_SQL},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug_emb)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= 0.95
+"""
+
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    """Embedding-cosine near-dup pairs (brute-force baseline — kept as
+    the oracle-shaped reference; the production path is the bucketed
+    query below)."""
     from parserpdf_spark.operators.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(_aug_embeddings(spark, sf_dir), threshold=0.95)
+
+
+def q_embedding_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: SRP-LSH banding + exact cosine verify inside
+    buckets — must reproduce the brute-force all-pairs oracle exactly at
+    threshold 0.95 (the minhash_lsh_pairs/jaccard_pairs pattern)."""
+    from parserpdf_spark.operators.dedup import embedding_dup_pairs_bucketed
+
+    return embedding_dup_pairs_bucketed(
+        _aug_embeddings(spark, sf_dir), threshold=0.95
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_bucketed": q_embedding_dups_bucketed,
         "ann_topk": q_ann_topk,
         "ann_ivf_full_probe": q_ann_ivf_full_probe,
         "lang_id": q_lang_id,
@@ -1015,14 +1038,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _JACCARD_SQL,
         "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
-        "embedding_dups": f"""
-            WITH {_AUG_EMB_SQL},
-            v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug_emb)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round({_COS_SQL}, 6) AS cosine
-            FROM v a JOIN v b ON a.vec_id < b.vec_id
-            WHERE round({_COS_SQL}, 6) >= 0.95
-        """,
+        "embedding_dups": _EMB_DUPS_SQL,
+        # the bucketed scale path must reproduce the brute-force oracle
+        "embedding_dups_bucketed": _EMB_DUPS_SQL,
         "ann_topk": _ANN_SQL,
         "ann_ivf_full_probe": _ANN_SQL,
         "lang_id": """

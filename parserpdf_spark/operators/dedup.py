@@ -274,9 +274,10 @@ def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float, id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a, id_b, cosine≥threshold) — brute-force block self-join;
-    the honest baseline the ANN variants must agree with (see ann.py for
-    the bucketed scale path)."""
+    """(id_a, id_b, cosine≥threshold) — brute-force O(n²) crossJoin.
+
+    Baseline/oracle ONLY: use :func:`embedding_dup_pairs_bucketed` (the
+    SRP-LSH path) for any real corpus — this one dies at scale."""
     v = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -286,6 +287,111 @@ def embedding_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SRP_BITS = 32
+SRP_BANDS = 8  # 8 bands × 4 bits
+
+
+def _srp_planes(dim: int, n_bits: int, seed: int):
+    """Deterministic random hyperplanes (seeded, cached per process)."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((dim, n_bits))
+
+
+def srp_signatures(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = SRP_BITS,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig): signed-random-projection signature — bit b = sign of
+    the dot product with seeded hyperplane b.  One vectorized numpy
+    matmul per Arrow batch (the 32×d dot products are BLAS work, not
+    per-element codegen); identical vectors get identical signatures by
+    construction, near vectors agree on most bits
+    (P[bit match] = 1 − θ/π, the SRP-LSH guarantee)."""
+    import pandas as pd
+
+    # NB: no type hints — pd is function-local, so the PySpark type-hint
+    # prober can't resolve the string annotations
+    @F.pandas_udf("long")
+    def sig(vecs):
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        planes = _srp_planes(mat.shape[1], n_bits, seed)
+        bits = (mat @ planes) >= 0.0
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for b in range(n_bits):
+            out |= bits[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), sig(F.col(vec_col)).alias("sig")
+    )
+
+
+def embedding_dup_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = SRP_BITS,
+    num_bands: int = SRP_BANDS,
+    seed: int = 7,
+) -> DataFrame:
+    """The 100 TB embedding-dedup path: SRP-LSH banding → candidate
+    pairs inside shared band buckets → exact cosine verify.
+
+    Mirrors the MinHash+LSH shape (:func:`minhash_lsh_pairs`): the join
+    key is (band, 4-bit chunk), so pair cost is Σ|bucket|² per band —
+    never the |corpus|² crossJoin of :func:`embedding_dup_pairs`, which
+    stays as the small-scale baseline / test oracle.  At threshold 0.95
+    (θ ≤ 18.2°) a pair misses all 8×4-bit bands with probability ≈2e-4;
+    exact duplicates can never miss (identical signatures).
+    """
+    rows = n_bits // num_bands
+    sigs = srp_signatures(
+        embeddings, id_col=id_col, vec_col=vec_col, n_bits=n_bits, seed=seed
+    )
+    chunks = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("sig"), band * rows)
+            .bitwiseAND(F.lit((1 << rows) - 1))
+            .alias("key"),
+        )
+        for band in range(num_bands)
+    ]
+    buckets = sigs.select(
+        "id", F.explode(F.array(*chunks)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = buckets.select(F.col("id").alias("id_a"), "band", "key")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -95,6 +95,50 @@ def test_ann_ivf_recall(spark, sf_med):
     assert full == exact  # probe-all ≡ brute force
 
 
+def test_embedding_bucketed_equals_bruteforce_on_near_dups(spark, sf_med):
+    """SRP-LSH bucketing must reproduce brute force on a corpus with
+    genuinely NEAR (perturbed, not identical) duplicates — the recall
+    property the scale path is sold on."""
+    from parserpdf_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # perturb: vec_id<20 reappear with every 5th coordinate nudged by
+    # +0.01 — cosine stays > 0.99, far above the 0.95 gate
+    near = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i % 5 == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(near)
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs(corpus, threshold=0.95).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs_bucketed(corpus, threshold=0.95).collect()
+    }
+    assert len(brute) >= 20  # every planted near-dup pair found
+    assert bucketed == brute
+
+
+def test_srp_signature_determinism(spark, sf_med):
+    from parserpdf_spark.operators.dedup import srp_signatures
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    s1 = {r["id"]: r["sig"] for r in srp_signatures(emb).collect()}
+    s2 = {r["id"]: r["sig"] for r in srp_signatures(emb).collect()}
+    assert s1 == s2  # seeded hyperplanes: same input → same signature
+    assert len(set(s1.values())) > 400  # random vectors spread buckets
+
+
 def test_winnow_determinism_and_shift_invariance():
     a = _winnow_one("the quick brown fox jumps over the lazy dog")
     b = _winnow_one("the  quick   brown fox jumps over the lazy dog")  # ws-normalized
