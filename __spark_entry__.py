@@ -154,6 +154,23 @@ def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_render_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 json output format (reference output_handler json branch,
+    ``utils/file_utils.py:523-548``): one JSON array of ordered span
+    objects per doc, canonical escaping identical in both engines."""
+    from parserpdf_spark.operators.sinks import render_json_col
+
+    return render_json_col(_extracted(spark, sf_dir))
+
+
+def q_render_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 html output format: ordered block elements per doc (markdown
+    structure re-expanded into heading/list/table markup)."""
+    from parserpdf_spark.operators.sinks import render_html_col
+
+    return render_html_col(_extracted(spark, sf_dir))
+
+
 def q_extract_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end *file* path (reference ``convert_files``,
     ``converters/pdf_to_md.py:121-189``): binaryFile scan of a real
@@ -745,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_order_checksum": q_extract_order_checksum,
         "extract_via_exploded": q_extract_via_exploded,
         "render_markdown": q_render_markdown,
+        "render_json": q_render_json,
+        "render_html": q_render_html,
         "extract_from_files": q_extract_from_files,
         "file_ingest_gate": q_file_ingest_gate,
         "page_filter_counts": q_page_filter_counts,
@@ -857,6 +876,74 @@ def oracle_sql() -> dict[str, str]:
                      chr(10) || chr(10) ORDER BY "offset") AS markdown
             FROM read_parquet('{GOLDEN}')
             GROUP BY doc_id
+        """,
+        "render_json": f"""
+            WITH esc AS (
+              SELECT doc_id, kind, "offset",
+                     replace(replace(replace(replace(replace(
+                       coalesce(text, ''),
+                       '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                       chr(9), '\\t'), chr(13), '\\r') AS t,
+                     CASE WHEN media_ref IS NULL THEN 'null'
+                          ELSE '"' || replace(replace(media_ref,
+                               '\\', '\\\\'), '"', '\\"') || '"' END AS m
+              FROM read_parquet('{GOLDEN}')
+            )
+            SELECT doc_id,
+                   '[' || string_agg(
+                     '{{"kind":"' || kind || '","text":"' || t
+                       || '","media_ref":' || m
+                       || ',"offset":' || CAST("offset" AS VARCHAR) || '}}',
+                     ',' ORDER BY "offset") || ']' AS json
+            FROM esc GROUP BY doc_id
+        """,
+        "render_html": f"""
+            WITH base AS (
+              SELECT doc_id, kind, "offset",
+                     coalesce(text, '') AS text, media_ref,
+                     replace(replace(replace(coalesce(text, ''),
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS esc
+              FROM read_parquet('{GOLDEN}')
+            ), blocks AS (
+              SELECT doc_id, "offset",
+                CASE kind
+                  WHEN 'heading' THEN
+                    '<h' || length(regexp_extract(text, '^(#+) ', 1)) || '>'
+                    || replace(replace(replace(regexp_replace(text, '^#+ ', ''),
+                         '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                    || '</h' || length(regexp_extract(text, '^(#+) ', 1)) || '>'
+                  WHEN 'para' THEN '<p>' || esc || '</p>'
+                  WHEN 'caption' THEN '<figcaption>' || esc || '</figcaption>'
+                  WHEN 'image' THEN '<img src="'
+                    || replace(replace(replace(coalesce(media_ref, ''),
+                         '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '"/>'
+                  WHEN 'code' THEN '<pre><code>' || esc || '</code></pre>'
+                  WHEN 'list' THEN '<ul>' || array_to_string(
+                    list_transform(string_split(text, chr(10)),
+                      x -> '<li>' || replace(replace(replace(
+                             regexp_replace(x, '^- ', ''),
+                             '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                           || '</li>'), '') || '</ul>'
+                  WHEN 'table' THEN '<table>' || array_to_string(list_transform(
+                      range(len(string_split(text, chr(10)))),
+                      i -> CASE WHEN i = 1 THEN '' ELSE
+                        '<tr>' || array_to_string(list_transform(
+                          list_filter(list_transform(
+                            string_split(string_split(text, chr(10))[CAST(i AS INT) + 1], '|'),
+                            c -> trim(c)), c -> c != ''),
+                          c -> CASE WHEN i = 0 THEN '<th>' ELSE '<td>' END
+                               || replace(replace(replace(c,
+                                    '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                               || CASE WHEN i = 0 THEN '</th>' ELSE '</td>' END),
+                        '') || '</tr>' END), '') || '</table>'
+                  ELSE '<p>' || esc || '</p>'
+                END AS h
+              FROM base
+            )
+            SELECT doc_id,
+                   '<article>' || string_agg(h, '' ORDER BY "offset")
+                     || '</article>' AS html
+            FROM blocks GROUP BY doc_id
         """,
         "extract_from_files": f"""
             SELECT doc_id, kind, text, media_ref, "offset" AS offset

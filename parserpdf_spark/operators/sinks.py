@@ -57,6 +57,167 @@ def render_markdown_col(extracted: DataFrame) -> DataFrame:
     )
 
 
+def _json_escape(col):
+    """Deterministic JSON string escaping, identical in any engine that
+    has replace(): backslash first, then quote and the control chars the
+    kernels can emit (\\n in table/list/code spans, \\t, \\r).  Spark's
+    ``to_json`` exists but serializes differently from other engines
+    (null-field elision, escaping details), so the export view defines
+    its own canonical form — valid JSON for the kernel output charset."""
+    s = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit('"'), F.lit('\\"'))
+    s = F.replace(s, F.lit("\n"), F.lit("\\n"))
+    s = F.replace(s, F.lit("\t"), F.lit("\\t"))
+    s = F.replace(s, F.lit("\r"), F.lit("\\r"))
+    return s
+
+
+def _html_escape(col):
+    s = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    s = F.replace(s, F.lit("<"), F.lit("&lt;"))
+    s = F.replace(s, F.lit(">"), F.lit("&gt;"))
+    return s
+
+
+def render_json_col(extracted: DataFrame) -> DataFrame:
+    """F5 json view (reference ``utils/file_utils.py:523-548``,
+    ``output_handler`` picking the json writer): (doc_id, json) — one
+    JSON array per document of offset-ordered span objects
+    ``{"kind":…,"text":…,"media_ref":…,"offset":…}``."""
+    span_json = F.concat(
+        F.lit('{"kind":"'),
+        F.col("kind"),
+        F.lit('","text":"'),
+        _json_escape(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit('","media_ref":'),
+        F.when(
+            F.col("media_ref").isNull(), F.lit("null")
+        ).otherwise(F.concat(F.lit('"'), _json_escape(F.col("media_ref")), F.lit('"'))),
+        F.lit(',"offset":'),
+        F.col("offset").cast("string"),
+        F.lit("}"),
+    )
+    return (
+        extracted.select("doc_id", "offset", span_json.alias("j"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("offset", "j"))),
+                        lambda s: s["j"],
+                    ),
+                ),
+                F.lit("]"),
+            ).alias("json")
+        )
+    )
+
+
+def _span_html():
+    """One extracted span → an HTML block element (markdown structure
+    re-expanded: heading level from the ``#`` run, list items from
+    ``- `` lines, pipe tables to table rows).  Limitation: literal ``|``
+    inside a table cell is treated as a separator."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    esc = _html_escape(text)
+    level = F.length(F.regexp_extract(text, r"^(#+) ", 1))
+    heading = F.concat(
+        F.lit("<h"), level.cast("string"), F.lit(">"),
+        _html_escape(F.regexp_replace(text, r"^#+ ", "")),
+        F.lit("</h"), level.cast("string"), F.lit(">"),
+    )
+    items = F.concat_ws(
+        "",
+        F.transform(
+            F.split(text, "\n"),
+            lambda line: F.concat(
+                F.lit("<li>"),
+                _html_escape(F.regexp_replace(line, r"^- ", "")),
+                F.lit("</li>"),
+            ),
+        ),
+    )
+    cells = lambda row: F.filter(  # noqa: E731
+        F.transform(F.split(row, r"\|"), lambda c: F.trim(c)),
+        lambda c: c != F.lit(""),
+    )
+    table_rows = F.concat_ws(
+        "",
+        F.transform(
+            F.split(text, "\n"),
+            lambda row, i: F.when(i == 1, F.lit("")).otherwise(  # separator row
+                F.concat(
+                    F.lit("<tr>"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            cells(row),
+                            lambda c, j=None: F.concat(
+                                F.when(i == 0, F.lit("<th>")).otherwise(F.lit("<td>")),
+                                _html_escape(c),
+                                F.when(i == 0, F.lit("</th>")).otherwise(F.lit("</td>")),
+                            ),
+                        ),
+                    ),
+                    F.lit("</tr>"),
+                )
+            ),
+        ),
+    )
+    return (
+        F.when(F.col("kind") == "heading", heading)
+        .when(F.col("kind") == "para", F.concat(F.lit("<p>"), esc, F.lit("</p>")))
+        .when(
+            F.col("kind") == "caption",
+            F.concat(F.lit("<figcaption>"), esc, F.lit("</figcaption>")),
+        )
+        .when(
+            F.col("kind") == "image",
+            F.concat(
+                F.lit('<img src="'),
+                _html_escape(F.coalesce(F.col("media_ref"), F.lit(""))),
+                F.lit('"/>'),
+            ),
+        )
+        .when(
+            F.col("kind") == "code",
+            F.concat(F.lit("<pre><code>"), esc, F.lit("</code></pre>")),
+        )
+        .when(F.col("kind") == "list", F.concat(F.lit("<ul>"), items, F.lit("</ul>")))
+        .when(
+            F.col("kind") == "table",
+            F.concat(F.lit("<table>"), table_rows, F.lit("</table>")),
+        )
+        .otherwise(F.concat(F.lit("<p>"), esc, F.lit("</p>")))
+    )
+
+
+def render_html_col(extracted: DataFrame) -> DataFrame:
+    """F5 html view: (doc_id, html) — offset-ordered block elements
+    wrapped in ``<article>``, the reference's html output format
+    re-expressed over the extracted spans table."""
+    return (
+        extracted.select("doc_id", "offset", _span_html().alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat(
+                F.lit("<article>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("offset", "h"))),
+                        lambda s: s["h"],
+                    ),
+                ),
+                F.lit("</article>"),
+            ).alias("html")
+        )
+    )
+
+
 def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
     """Write ``{out_dir}/{doc_id}/{doc_id}.md`` (+ ``media.txt`` manifest
     when the doc has media) for every document; returns docs written."""

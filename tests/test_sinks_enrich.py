@@ -37,6 +37,41 @@ def test_export_markdown_files(spark, sf_small, tmp_path):
     assert not os.path.exists(os.path.join(out, "0", "media.txt"))
 
 
+def test_render_json_is_valid_and_roundtrips(spark, sf_small):
+    """The json view must be *parseable* JSON whose objects reproduce
+    the span rows exactly (the escaping's real contract, beyond the
+    cross-engine string equality the oracle checks)."""
+    import json
+
+    from parserpdf_spark.operators.sinks import render_json_col
+
+    docs = synth_docs_df(spark, sf_small).filter(F.col("doc_id").isin("0", "1", "2"))
+    extracted, _ = extract_docs(docs, persist=True)
+    rendered = {r["doc_id"]: r["json"] for r in render_json_col(extracted).collect()}
+    spans = {}
+    for r in extracted.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            {"kind": r["kind"], "text": r["text"] or "",
+             "media_ref": r["media_ref"], "offset": r["offset"]}
+        )
+    for doc_id, js in rendered.items():
+        parsed = json.loads(js)
+        expected = sorted(spans[doc_id], key=lambda s: s["offset"])
+        assert parsed == expected, doc_id
+
+
+def test_render_html_structure(spark, sf_small):
+    from parserpdf_spark.operators.sinks import render_html_col
+
+    docs = synth_docs_df(spark, sf_small).filter(F.col("doc_id").isin("0", "2"))
+    extracted, _ = extract_docs(docs, persist=True)
+    html = {r["doc_id"]: r["html"] for r in render_html_col(extracted).collect()}
+    assert html["0"].startswith("<article><h1>")
+    assert "<table><tr><th>" in html["0"]  # id%6==0 embeds a table
+    assert "<img src=" in html["2"]  # mixed doc carries images
+    assert "&" not in html["0"].replace("&amp;", "").replace("&lt;", "").replace("&gt;", "")
+
+
 def test_enrichment_stage(spark, sf_small):
     docs = synth_docs_df(spark, sf_small).limit(30)
     extracted, _ = extract_docs(docs, persist=True)
