@@ -708,7 +708,8 @@ def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints — sequential per doc, so a
-    pandas UDF; no SQL oracle (rows-only check + unit tests)."""
+    pandas UDF; the oracle re-derives the scheme independently in pure
+    SQL (direct k-gram hashes + rightmost-min picks over list ops)."""
     from parserpdf_spark.operators.textops import fingerprint_winnow
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -852,6 +853,53 @@ SELECT doc_id,
        CAST(CASE WHEN nid % 3 = 2 THEN 2
                  WHEN has_fig THEN 1 ELSE 0 END AS INT) AS n_images
 FROM shape
+"""
+
+
+def _winnow_oracle_sql() -> str:
+    """An independent second implementation of winnowing in pure SQL:
+    direct k-gram polynomial hashes (HUGEINT arithmetic mod 2^61-1 —
+    same constants as the kernel), rightmost-min pick per window, count
+    of distinct pick indices.  Valid because robust-winnowing picks are
+    non-decreasing in the window index, so 'skip consecutive repeats'
+    (the kernel's sequential rule) ≡ 'distinct pick indices'."""
+    from parserpdf_spark.operators.textops import _B, _MOD, WINNOW_K, WINNOW_W
+
+    powers = [pow(_B, WINNOW_K - 1 - j, _MOD) for j in range(WINNOW_K)]
+    gram = " + ".join(
+        f"CAST(ascii(substr(s, CAST(i + {j + 1} AS INT), 1)) AS HUGEINT)"
+        f" * {powers[j]}::HUGEINT"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+    CASE WHEN len(s) >= {WINNOW_K + WINNOW_W - 1} THEN
+      list_transform(range(len(s) - {WINNOW_K} + 1),
+        i -> CAST(({gram}) % {_MOD}::HUGEINT AS BIGINT))
+    ELSE [] END AS hashes
+  FROM norm
+), picks AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(greatest(len(hashes) - {WINNOW_W} + 1, 0)),
+      i -> i + list_max(list_transform(range({WINNOW_W}),
+             j -> CASE WHEN hashes[CAST(i + j + 1 AS INT)]
+                         = list_min(list_slice(hashes, CAST(i + 1 AS INT),
+                                               CAST(i + {WINNOW_W} AS INT)))
+                       THEN j ELSE -1 END)))) AS pk,
+    hashes
+  FROM hs
+)
+SELECT doc_id,
+       CAST(len(pk) AS INT) AS n_fp,
+       CAST(list_min(list_transform(pk, p -> hashes[CAST(p + 1 AS INT)]))
+            AS BIGINT) AS min_fp,
+       CAST(list_max(list_transform(pk, p -> hashes[CAST(p + 1 AS INT)]))
+            AS BIGINT) AS max_fp
+FROM picks
 """
 
 
@@ -1183,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
             FROM documents
         """,
+        "fingerprint_winnow": _winnow_oracle_sql(),
         "fingerprint_md5": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))

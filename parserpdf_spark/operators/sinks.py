@@ -220,8 +220,14 @@ def render_html_col(extracted: DataFrame) -> DataFrame:
 
 def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
     """Write ``{out_dir}/{doc_id}/{doc_id}.md`` (+ ``media.txt`` manifest
-    when the doc has media) for every document; returns docs written."""
-    view = render_markdown_col(extracted)
+    when the doc has media) for every document; returns docs written.
+
+    **Requires ``out_dir`` on a shared filesystem** (NFS/FUSE-mounted
+    object store): each executor writes its own partitions' docs with
+    plain file IO.  On executor-local disks the files would scatter.
+    The count comes from the DataFrame (cluster-correct), never from a
+    driver-local directory listing."""
+    view = render_markdown_col(extracted).persist()
 
     def write_partition(rows):
         import os as _os
@@ -240,4 +246,37 @@ def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
 
     os.makedirs(out_dir, exist_ok=True)
     view.foreachPartition(write_partition)
-    return len(os.listdir(out_dir))
+    n = view.count()
+    view.unpersist()
+    return n
+
+
+def export_image_payloads(media: DataFrame, out_dir: str) -> int:
+    """K2 image sink (reference ``utils/file_utils.py:562-626``, which
+    writes PIL images into per-doc dirs): dump binary payload columns to
+    ``{out_dir}/{doc_id}/{media_ref}`` via foreachPartition — each
+    executor writes its own partitions, no driver collect.  Same
+    shared-filesystem requirement as :func:`export_markdown_files`.
+
+    ``media`` needs (doc_id, media_ref, payload) — the shape
+    ``multimodal.attach_fake_payloads`` (or a real media table) carries.
+    Returns payloads written (DataFrame count, cluster-correct)."""
+    view = media.select("doc_id", "media_ref", "payload").persist()
+
+    def write_partition(rows):
+        import os as _os
+
+        for row in rows:
+            doc_dir = _os.path.join(out_dir, row["doc_id"])
+            _os.makedirs(doc_dir, exist_ok=True)
+            # media_ref is a bare filename by contract; strip any path
+            # components defensively so a hostile ref can't escape out_dir
+            name = _os.path.basename(row["media_ref"])
+            with open(_os.path.join(doc_dir, name), "wb") as fh:
+                fh.write(bytes(row["payload"]))
+
+    os.makedirs(out_dir, exist_ok=True)
+    view.foreachPartition(write_partition)
+    n = view.count()
+    view.unpersist()
+    return n

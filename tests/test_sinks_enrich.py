@@ -37,6 +37,27 @@ def test_export_markdown_files(spark, sf_small, tmp_path):
     assert not os.path.exists(os.path.join(out, "0", "media.txt"))
 
 
+def test_export_image_payloads(spark, sf_small, tmp_path):
+    """K2: binary payloads land as real files in per-doc dirs with the
+    exact bytes."""
+    from parserpdf_spark.operators.multimodal import attach_fake_payloads
+    from parserpdf_spark.operators.sinks import export_image_payloads
+
+    out = str(tmp_path / "media_out")
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").filter(
+        F.col("doc_id") < 5
+    )
+    media = attach_fake_payloads(docs)
+    n = export_image_payloads(media, out)
+    assert n == 5
+    rows = media.collect()
+    assert len(os.listdir(out)) == 5
+    for r in rows:
+        path = os.path.join(out, r["doc_id"], r["media_ref"])
+        with open(path, "rb") as fh:
+            assert fh.read() == bytes(r["payload"])
+
+
 def test_render_json_is_valid_and_roundtrips(spark, sf_small):
     """The json view must be *parseable* JSON whose objects reproduce
     the span rows exactly (the escaping's real contract, beyond the
