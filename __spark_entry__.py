@@ -204,6 +204,26 @@ def q_file_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: downloads-list shape — per-doc artifact names ranked by
+    doc_id, with the run archive prepended at position 0
+    (``ui/gradio_process.py:426``'s ``insert(0, zip)``).  The global
+    row_number here is gate scaffolding to mint positions; the
+    downloads list itself is per-run UI metadata (thousands of rows),
+    never corpus-sized."""
+    from parserpdf_spark.operators.sinks import ordered_prepend
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = W.orderBy(F.col("doc_id").asc())
+    artifacts = docs.select(
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.concat(
+            F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".md")
+        ).alias("artifact"),
+    )
+    return ordered_prepend(artifacts, "run_archive.zip")
+
+
 def q_page_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: page-range pruning ("0" = first page only, the reference's UI
     default) applied before extraction; per-doc para counts shrink to
@@ -767,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_html": q_render_html,
         "extract_from_files": q_extract_from_files,
         "file_ingest_gate": q_file_ingest_gate,
+        "ordered_prepend": q_ordered_prepend,
         "page_filter_counts": q_page_filter_counts,
         "pricing_summary": q_pricing_summary,
         "ext_gate": q_ext_gate,
@@ -1000,6 +1021,13 @@ def oracle_sql() -> dict[str, str]:
         "file_ingest_gate": f"""
             SELECT doc_id, src_path, ingest_status, n_spans
             FROM read_parquet('{GOLDEN_INGEST}')
+        """,
+        "ordered_prepend": """
+            SELECT CAST(0 AS INT) AS pos, 'run_archive.zip' AS artifact
+            UNION ALL
+            SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS pos,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.md' AS artifact
+            FROM documents
         """,
         "page_filter_counts": f"""
             WITH stats AS (

@@ -70,12 +70,44 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic centroid seed-set: every ``every``-th vector by id.
-    (A Lloyd refinement pass is orthogonal to the dataflow shape; the
-    bucketing/probing topology is what matters at scale.)"""
+    """Deterministic centroid seed-set: every ``every``-th vector by id;
+    tighten with :func:`lloyd_refine` (``ann_ivf_topk(lloyd_iters=…)``)."""
     return _as_double_vec(
         embeddings.filter(F.col(id_col) % every == 0), id_col, vec_col, "centroid_id"
     )
+
+
+def lloyd_refine(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd/k-means refinement of the IVF centroid set, fully
+    relational: assign every vector to its nearest centroid (broadcast),
+    recompute each centroid as the element-wise mean of its members
+    (posexplode → per-(centroid, dim) avg → re-assemble).  One shuffle
+    of (centroid_id, dim, x) triples per iteration — never materializes
+    vectors on the driver, so it scales with the corpus."""
+    base = _as_double_vec(embeddings, id_col, vec_col, "member_id")
+    for _ in range(int(iters)):
+        assigned = _nearest_centroids(base, centroids, "member_id", 1)
+        dims = assigned.select(
+            "centroid_id", F.posexplode("member_id_v").alias("pos", "x")
+        )
+        centroids = (
+            dims.groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid_id_v")
+            )
+        )
+    return centroids
 
 
 def _nearest_centroids(
@@ -104,19 +136,29 @@ def ann_ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF top-k: search only the buckets of the n_probe nearest
     centroids per query.  Join key = centroid_id, so the pair space is
-    Σ bucket×probe, not corpus×queries."""
+    Σ bucket×probe, not corpus×queries.  ``lloyd_iters`` k-means passes
+    tighten the seed centroids (better balanced buckets → better recall
+    at small n_probe)."""
     centroids = ivf_centroids(embeddings, every=every, id_col=id_col, vec_col=vec_col)
+    if lloyd_iters:
+        centroids = lloyd_refine(
+            embeddings, centroids, iters=lloyd_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     base = _as_double_vec(embeddings, id_col, vec_col, "neighbor_id")
     q = _as_double_vec(queries, id_col, vec_col, "query_id")
 
     assigned = _nearest_centroids(base, centroids, "neighbor_id", 1)
     probed = _nearest_centroids(q, centroids, "query_id", n_probe)
 
+    # the probe table is queries × n_probe — broadcast it so the bucket
+    # join never shuffles the corpus-sized assigned table
     scored = (
-        probed.join(assigned, "centroid_id")
+        assigned.join(F.broadcast(probed), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine", cosine_expr(F.col("query_id_v"), F.col("neighbor_id_v"))

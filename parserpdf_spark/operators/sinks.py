@@ -251,6 +251,24 @@ def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
     return n
 
 
+def ordered_prepend(
+    artifacts: DataFrame, first: str, name_col: str = "artifact",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """U3: the reference's ``downloads.insert(0, zip_path)``
+    (``ui/gradio_process.py:426``) — an *ordered* union: the new row
+    takes position 0 and every existing position shifts by one.  Order
+    is data (a rank column), not row order — the only shape that
+    survives distribution."""
+    head = artifacts.sparkSession.createDataFrame(
+        [(0, first)], f"{pos_col} int, {name_col} string"
+    )
+    shifted = artifacts.select(
+        (F.col(pos_col) + 1).cast("int").alias(pos_col), name_col
+    )
+    return head.unionByName(shifted)
+
+
 def export_image_payloads(media: DataFrame, out_dir: str) -> int:
     """K2 image sink (reference ``utils/file_utils.py:562-626``, which
     writes PIL images into per-doc dirs): dump binary payload columns to

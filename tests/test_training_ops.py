@@ -95,6 +95,62 @@ def test_ann_ivf_recall(spark, sf_med):
     assert full == exact  # probe-all ≡ brute force
 
 
+def test_ivf_lloyd_recall_on_planted_dups(spark, sf_med):
+    """Dedup-shaped recall: every planted duplicate's twin must surface
+    in IVF top-5 at n_probe=2 after one Lloyd pass (identical vectors
+    share a bucket under any refined centroid set)."""
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    queries = corpus.filter(F.col("vec_id") >= 100000)
+    got = ann_ivf_topk(
+        corpus, queries, k=5, every=50, n_probe=2, lloyd_iters=1
+    )
+    top = {
+        (r["query_id"], r["neighbor_id"]) for r in got.collect()
+    }
+    hits = sum(
+        1 for q in range(100000, 100025) if (q, q - 100000) in top
+    )
+    assert hits / 25 >= 0.9
+
+
+def test_lloyd_refine_changes_centroids_and_keeps_equivalence(spark, sf_med):
+    """Refined centroids differ from the seeds, and probe-all IVF still
+    equals brute force after refinement (refinement changes *routing*,
+    never the verified distances)."""
+    from parserpdf_spark.operators.ann import ivf_centroids, lloyd_refine
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    seeds = {
+        r["centroid_id"]: tuple(r["centroid_id_v"])
+        for r in ivf_centroids(emb, every=100).collect()
+    }
+    refined = {
+        r["centroid_id"]: tuple(r["centroid_id_v"])
+        for r in lloyd_refine(emb, ivf_centroids(emb, every=100)).collect()
+    }
+    assert set(refined) == set(seeds)
+    assert any(refined[c] != seeds[c] for c in seeds)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_ivf_topk(
+            emb, queries, k=5, every=100, n_probe=1000, lloyd_iters=2
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_embedding_bucketed_equals_bruteforce_on_near_dups(spark, sf_med):
     """SRP-LSH bucketing must reproduce brute force on a corpus with
     genuinely NEAR (perturbed, not identical) duplicates — the recall
