@@ -75,6 +75,12 @@ def ensure_docs_table(spark, sf_dir: str, replicate: int) -> str:
 
 TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 
+# the 8-proc pure-python burn rate measured on a quiet box when the
+# BENCH/BASELINE.md headline was recorded; `docs_per_sec_hw_normalized`
+# rescales the flagship number by (this / same-run control) so the
+# recorded throughput is comparable across contention episodes
+BASELINE_HW_CONTROL = float(os.environ.get("BENCH_BASELINE_HW", "7.3"))
+
 
 def _timed_extract(spark, docs_path: str) -> tuple[float, int, int]:
     """(best seconds of N, n_docs, n_rows) for scan → extract → count.
@@ -107,6 +113,12 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
     spark = get_spark(cores=cpus, app_name="parserpdf_bench")
     docs_path = ensure_docs_table(spark, sf_dir, REPLICATE)
 
+    # the VM's contention comes in minutes-long episodes, so a single
+    # min-of-N burst can land entirely inside one; spread the flagship
+    # timing across the whole bench (one burst before the headline
+    # queries, one after) and keep the best
+    ext1, n_docs, _ = _timed_extract(spark, docs_path)
+
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -116,9 +128,13 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
         qmap[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
-    ext_sec, n_docs, _ = _timed_extract(spark, docs_path)
+    ext2, _, _ = _timed_extract(spark, docs_path)
+    ext_sec = min(ext1, ext2)
     timings["extract_stored_table"] = round(ext_sec, 3)
     total = round(sum(timings.values()), 3)
+    # same-run hardware control: what the vCPUs deliver RIGHT NOW, so a
+    # contended episode is visible (and correctable) in the record
+    hw_ctrl = round(_hardware_control(8), 1)
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -128,6 +144,11 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
         "cpus": int(cpus),
         "extract_docs": n_docs,
         "docs_per_sec": round(n_docs / ext_sec, 1),
+        "hw_control_tasks_per_sec": hw_ctrl,
+        "hw_control_at_baseline": BASELINE_HW_CONTROL,
+        "docs_per_sec_hw_normalized": round(
+            n_docs / ext_sec * min(BASELINE_HW_CONTROL / hw_ctrl, 3.0), 1
+        ),
     }
     result.update(_validate_sample(spark, docs_path, sf_dir))
     spark.stop()
