@@ -36,12 +36,16 @@ if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
     ).rstrip(os.pathsep)
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
-                    help="docs parquet dir (doc_id, spans) or an sf dir "
-                         "containing documents.parquet to synthesize from")
+                    help="docs parquet dir (doc_id, spans), an sf dir "
+                         "containing documents.parquet to synthesize from, "
+                         "or a directory of raw files (.html/.htm/.docx/…) "
+                         "to ingest through the files_to_docs bridge")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--glob", default="*",
+                    help="path glob for raw-file input dirs (default *)")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--cores", default=None,
                     help="local[N] cores; omit under spark-submit")
@@ -50,7 +54,10 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
-    if args.cores is not None:
+    owns_session = spark is None
+    if spark is not None:
+        pass  # caller-provided session (tests/embedding); caller stops it
+    elif args.cores is not None:
         from parserpdf_spark.session import get_spark
 
         spark = get_spark(cores=args.cores, app_name="parserpdf_extract_job")
@@ -63,12 +70,32 @@ def main(argv=None) -> int:
         run_checkpointed_extraction,
     )
 
+    ingest_report = None
     if os.path.exists(os.path.join(args.input, "documents.parquet")):
         from parserpdf_spark.sources.synth import synth_docs_df
 
         docs = synth_docs_df(spark, args.input)
-    else:
+    elif any(
+        name.endswith(".parquet") or name == "_SUCCESS"
+        for name in os.listdir(args.input)
+    ):
         docs = spark.read.parquet(args.input)
+    else:
+        # raw files: scan → bridge → canonical docs table
+        from pyspark.sql import functions as F
+
+        from parserpdf_spark.sources.files import files_to_docs, ingested_docs
+        from parserpdf_spark.sources.scans import scan_files
+
+        files = scan_files(spark, args.input, args.glob, with_content=True)
+        bridged = files_to_docs(files).persist()
+        ingest_report = {
+            r["ingest_status"]: r["n"]
+            for r in bridged.groupBy("ingest_status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        docs = ingested_docs(bridged)
 
     already = committed_chunks(args.output)
     if already:
@@ -84,12 +111,16 @@ def main(argv=None) -> int:
         r["status"]: r["n"]
         for r in metrics.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
-    print(json.dumps({
+    report = {
         "committed_this_run": [r["chunk_id"] for r in committed],
         "total_chunks": args.chunks,
         "docs_by_status": by_status,
-    }))
-    spark.stop()
+    }
+    if ingest_report is not None:
+        report["files_by_ingest_status"] = ingest_report
+    print(json.dumps(report))
+    if owns_session:
+        spark.stop()
     return 0
 
 

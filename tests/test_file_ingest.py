@@ -90,6 +90,68 @@ def test_scan_to_extract_end_to_end(spark):
     assert got == want
 
 
+def test_streaming_file_ingestion_incremental(spark, tmp_path):
+    """Drop real files into a watched dir, drain, drop more, drain again:
+    only new files are processed (exactly-once via checkpoint), and the
+    extraction output matches the committed golden for those docs."""
+    import shutil
+
+    from parserpdf_spark.operators.extract import split_combined
+    from parserpdf_spark.streaming.ingest import run_incremental_file_ingestion
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    for name in ("doc_0.html", "doc_1.docx"):
+        shutil.copy(os.path.join(FIXTURES, name), watch)
+    run_incremental_file_ingestion(spark, str(watch), out, ck)
+    first = spark.read.parquet(out)
+    _, m1 = split_combined(first)
+    assert sorted(r["doc_id"] for r in m1.collect()) == ["doc_0", "doc_1"]
+
+    # second drop: one new html, one skipped txt — only the html lands
+    shutil.copy(os.path.join(FIXTURES, "doc_3.html"), watch)
+    shutil.copy(os.path.join(FIXTURES, "readme_1.txt"), watch)
+    run_incremental_file_ingestion(spark, str(watch), out, ck)
+    extracted, metrics = split_combined(spark.read.parquet(out))
+    docs = sorted(r["doc_id"] for r in metrics.collect())
+    assert docs == ["doc_0", "doc_1", "doc_3"]  # no dupes, no txt
+
+    golden = spark.read.parquet(
+        os.path.join(REPO, "goldens", "extract_files.parquet")
+    ).filter(F.col("doc_id").isin("doc_0", "doc_1", "doc_3"))
+    got = {tuple(r) for r in extracted.select(*golden.columns).collect()}
+    want = {tuple(r) for r in golden.collect()}
+    assert got == want
+
+
+def test_extract_job_over_raw_files(spark, tmp_path):
+    """The spark-submit entry accepts a plain directory of files and
+    reports both ingest statuses and extraction statuses."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from parserpdf_spark.jobs.extract_job import main
+
+    out = str(tmp_path / "jobout")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["--input", FIXTURES, "--output", out, "--chunks", "4"],
+            spark=spark,
+        )
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["files_by_ingest_status"] == {
+        "ok": 26, "error": 1, "needs_prechunk": 1, "skipped": 2,
+    }
+    assert report["docs_by_status"] == {"ok": 26}
+    assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
+
+
 def test_docx_and_html_agree_on_shared_structure(spark):
     """A docx doc and an html doc derived from the same source text get
     the same heading — one extraction path, two ingest formats."""
