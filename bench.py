@@ -46,6 +46,9 @@ HEADLINE = [
     "window_topk",
     "event_hour_rollup",
     "dedup_exact",
+    # the training-data scale paths (round 2): bucketed, never all-pairs
+    "minhash_lsh_pairs",
+    "embedding_dups_bucketed",
 ]
 
 

@@ -108,22 +108,38 @@ NUM_PERMS = 64
 NUM_BANDS = 16  # 16 bands × 4 rows
 
 
+_MERSENNE31 = (1 << 31) - 1  # permutation modulus (universal hashing)
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, text_col: str = "text",
-    num_perms: int = NUM_PERMS,
+    num_perms: int = NUM_PERMS, seed: int = 1,
 ) -> DataFrame:
-    """(doc_id, h0..h63): min over shingles of seeded 60-bit hashes.
+    """(doc_id, h0..h63): min over shingles of 64 seeded permutations.
+
+    ONE base md5 per shingle + 64 affine maps ``(a·x + b) mod 2^31-1``
+    (the standard universal-hash permutation family) — 64× cheaper than
+    hashing each shingle per permutation, measured 30×+ wall-clock on
+    the sf0.1 corpus.  The products stay under 2^62, inside bigint.
 
     One shuffle with map-side partial mins — the 10^12-scale shape (the
-    naive shingle×perm explode multiplies the shuffle by 64)."""
-    sh = word_shingles(docs, n=n, text_col=text_col)
-    aggs = [
-        F.min(md5_60(F.concat_ws("\x01", F.lit(str(i)), F.col("shingle")))).alias(
-            f"h{i}"
-        )
-        for i in range(num_perms)
+    naive shingle×perm explode multiplies the shuffle by 64; per-perm
+    full hashing multiplies the *CPU* by 64)."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_perms)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = word_shingles(docs, n=n, text_col=text_col)
+    base = (md5_60(F.col("shingle")) % _MERSENNE31).alias("hbase")
+    hashed = sh.select("doc_id", base)
+    aggs = [
+        F.min((F.col("hbase") * a + b) % _MERSENNE31).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

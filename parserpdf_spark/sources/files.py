@@ -27,7 +27,11 @@ Routing (keep-with-status, mirroring the reference's extension gate at
 
 Scale shape: one ``mapInPandas`` over Arrow batches of (path, content) —
 narrow, zero shuffle, same plan position as the extraction kernel; the
-binaryFile scan already splits across executors per file.
+binaryFile scan already splits across executors per file.  A single
+file's bytes can't split below the file (binaryFile semantics), so
+pathological multi-GB uploads bound per-task memory — the reference has
+the same per-file floor; ``maxRecordsPerBatch`` caps docs per Arrow
+batch, and genuinely huge corpora should cap upload size at the edge.
 """
 
 from __future__ import annotations

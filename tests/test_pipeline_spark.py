@@ -137,3 +137,15 @@ def test_synth_matches_pandas_path(spark, sf_small):
         if did in spark_docs:
             expected = [[s["kind"], s["text"], s["media_ref"], s["offset"]] for s in spans]
             assert spark_docs[did] == expected
+
+
+def test_hll_sketch_within_5pct(spark, sf_med):
+    """Spark's approx_count_distinct at rsd=0.02 stays within 5% of the
+    exact distinct count (the tighter bound behind the driver query's
+    oracled 10% property)."""
+    li = spark.read.parquet(f"{sf_med}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.05

@@ -106,5 +106,61 @@ def test_salted_assembly_splits_hot_keys(spark, sf_small):
     assert "Join" not in plan
 
 
+def test_file_ingestion_plan_has_no_exchange(spark):
+    """The scan → bridge → extraction path is narrow end-to-end: the
+    binaryFile splits ARE the parallelism, nothing shuffles."""
+    import os
+
+    from parserpdf_spark.operators.extract import extract_combined
+    from parserpdf_spark.sources.files import files_to_docs, ingested_docs
+    from parserpdf_spark.sources.scans import scan_files
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "files_corpus",
+    )
+    files = scan_files(spark, fixtures, "*", with_content=True)
+    plan = plan_of(extract_combined(ingested_docs(files_to_docs(files))))
+    assert node_count(plan, "Exchange") == 0
+    assert "MapInPandas" in plan and "MapInArrow" in plan
+
+
+def test_bucketed_embedding_dedup_never_cartesian(spark, sf_med):
+    """The SRP scale path must stay an equi-join on (band, key) — a
+    regression to crossJoin/BNLJ is the 100 TB killer."""
+    from parserpdf_spark.operators.dedup import embedding_dup_pairs_bucketed
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    plan = plan_of(embedding_dup_pairs_bucketed(emb, threshold=0.95))
+    assert node_count(plan, "CartesianProduct") == 0
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_med):
+    """The IVF bucket join broadcasts the probe side so the corpus-sized
+    assigned table never shuffles for the join."""
+    from pyspark.sql import functions as F
+
+    from parserpdf_spark.operators.ann import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    df = ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, every=50,
+                      n_probe=2)
+    assert node_count(plan_of(df), "BroadcastHashJoin") >= 1
+
+
+def test_minhash_is_one_aggregate_no_perm_explode(spark, sf_small):
+    """64 permutations ride ONE partial+final aggregate pair (map-side
+    combine), not a 64× exploded shuffle."""
+    from parserpdf_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(minhash_signatures(docs))
+    assert node_count(plan, "Exchange") == 1  # the single doc_id shuffle
+    assert node_count(plan, "HashAggregate") == 2  # partial + final
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
