@@ -1,0 +1,61 @@
+"""Property tests for the docx shim kernel (pure python, no JVM):
+random documents round-trip build_docx → docx_to_html → extraction with
+structure preserved (heading text, paragraph count, table presence,
+image refs)."""
+
+import os
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parserpdf_spark.kernels.docx_extract import docx_to_html  # noqa: E402
+from parserpdf_spark.kernels.extract import extract_document_safe  # noqa: E402
+from tools.make_file_fixtures import build_docx  # noqa: E402
+
+# words that survive the kernels' text normalization untouched
+WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=10
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(nid=st.integers(min_value=0, max_value=10_000), words=st.lists(WORD, min_size=8, max_size=80))
+def test_docx_roundtrip_structure(nid, words):
+    text = " ".join(words)
+    html = docx_to_html(build_docx(nid, text))
+    spans, metrics = extract_document_safe(
+        [{"kind": "html", "text": html, "media_ref": None, "offset": 0}]
+    )
+    assert metrics["status"] == "ok"
+    kinds = [s["kind"] for s in spans]
+
+    # exactly one heading, carrying the first three words
+    assert kinds.count("heading") == 1
+    heading = next(s for s in spans if s["kind"] == "heading")
+    assert heading["text"] == "# " + " ".join(words[:3])
+
+    # the builder's structure rules survive the round trip
+    assert ("table" in kinds) == (nid % 2 == 0)
+    images = [s for s in spans if s["kind"] == "image"]
+    if nid % 4 == 1:
+        assert [s["media_ref"] for s in images] == ["media/figure1.png"]
+    else:
+        assert images == []
+
+    # offsets are dense and ordered (the span-sequence invariant)
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+@settings(max_examples=20, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_docx_kernel_never_raises_through_safe_path(junk):
+    """Arbitrary bytes through the dispatcher's safe path must yield an
+    error row, never an exception (the return-not-raise contract)."""
+    from parserpdf_spark.sources.files import route_file
+
+    row = route_file("/x/fuzz.docx", junk)
+    assert row["ingest_status"] in ("ok", "error")
+    if row["ingest_status"] == "error":
+        assert row["spans"] == []
