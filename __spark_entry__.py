@@ -34,6 +34,9 @@ GOLDEN = os.path.join(_REPO, "goldens", "extract_sf0.01.parquet")
 GOLDEN_FILES = os.path.join(_REPO, "goldens", "extract_files.parquet")
 GOLDEN_INGEST = os.path.join(_REPO, "goldens", "file_ingest_status.parquet")
 FIXTURE_FILES = os.path.join(_REPO, "fixtures", "files_corpus")
+GOLDEN_WARC = os.path.join(_REPO, "goldens", "extract_warc.parquet")
+GOLDEN_WARC_INGEST = os.path.join(_REPO, "goldens", "warc_ingest_status.parquet")
+FIXTURE_WARC = os.path.join(_REPO, "fixtures", "warc")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +204,41 @@ def q_file_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("src_path", "^file:", "").alias("src_path"),
         "ingest_status",
         F.size("spans").alias("n_spans"),
+    )
+
+
+def q_extract_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive ingestion: scan committed .warc/.warc.gz fixtures →
+    parse WARC records → HTML responses through the bridge → extraction.
+    The 100 TB crawl-corpus entry path (CommonCrawl file shape)."""
+    from parserpdf_spark.operators.extract import extract_docs
+    from parserpdf_spark.sources.scans import scan_multi
+    from parserpdf_spark.sources.warc import warc_to_docs
+
+    files = scan_multi(
+        spark, FIXTURE_WARC, ["*.warc", "*.warc.gz"], with_content=True
+    )
+    rows = warc_to_docs(files)
+    docs = rows.filter(F.col("ingest_status") == "ok").select("doc_id", "spans")
+    return extract_docs(docs)[0]
+
+
+def q_warc_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-with-status per WARC record: warcinfo/request records and
+    non-HTML captures are skipped rows, undecodable captures error rows."""
+    from parserpdf_spark.sources.scans import scan_multi
+    from parserpdf_spark.sources.warc import warc_to_docs
+
+    files = scan_multi(
+        spark, FIXTURE_WARC, ["*.warc", "*.warc.gz"], with_content=True
+    )
+    return warc_to_docs(files).select(
+        "doc_id",
+        F.regexp_replace("src_path", "^file:", "").alias("src_path"),
+        "record_uri",
+        "record_type",
+        "content_type",
+        "ingest_status",
     )
 
 
@@ -722,6 +760,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus filtering signals (mean word length, duplicate
+    bigram fraction, numeric/long-token ratios, keep gate)."""
+    from parserpdf_spark.operators.textops import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality(docs)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parserpdf_spark.operators.textops import token_counts
 
@@ -797,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_html": q_render_html,
         "extract_from_files": q_extract_from_files,
         "file_ingest_gate": q_file_ingest_gate,
+        "extract_from_warc": q_extract_from_warc,
+        "warc_ingest_gate": q_warc_ingest_gate,
         "ordered_prepend": q_ordered_prepend,
         "page_filter_counts": q_page_filter_counts,
         "pricing_summary": q_pricing_summary,
@@ -824,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_full_probe": q_ann_ivf_full_probe,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
         "token_counts": q_token_counts,
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -1031,6 +1081,15 @@ def oracle_sql() -> dict[str, str]:
         "file_ingest_gate": f"""
             SELECT doc_id, src_path, ingest_status, n_spans
             FROM read_parquet('{GOLDEN_INGEST}')
+        """,
+        "extract_from_warc": f"""
+            SELECT doc_id, kind, text, media_ref, "offset" AS offset
+            FROM read_parquet('{GOLDEN_WARC}')
+        """,
+        "warc_ingest_gate": f"""
+            SELECT doc_id, src_path, record_uri, record_type, content_type,
+                   ingest_status
+            FROM read_parquet('{GOLDEN_WARC_INGEST}')
         """,
         "ordered_prepend": """
             SELECT CAST(0 AS INT) AS pos, 'run_archive.zip' AS artifact
@@ -1260,6 +1319,38 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END,
                          6) AS quality
             FROM t
+        """,
+        "gopher_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(toks) AS n,
+                CASE WHEN len(toks) > 0 THEN
+                  round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks), 6) ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(toks) >= 2 THEN
+                  round(1.0 - CAST(len(list_distinct(list_transform(
+                    range(len(toks) - 1),
+                    i -> toks[CAST(i + 1 AS INT)] || chr(1)
+                         || toks[CAST(i + 2 AS INT)])))
+                    AS DOUBLE) / (len(toks) - 1), 6)
+                ELSE 0.0 END AS frac_dup_2grams,
+                CASE WHEN len(toks) > 0 THEN
+                  round(CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+                    / len(toks), 6) ELSE 0.0 END AS frac_numeric_tokens,
+                CASE WHEN len(toks) > 0 THEN
+                  round(CAST(len(list_filter(toks, x -> length(x) > 10))
+                    AS DOUBLE) / len(toks), 6) ELSE 0.0 END AS frac_long_tokens
+              FROM t
+            )
+            SELECT doc_id, CAST(n AS INT) AS n_words, mean_word_len,
+                   frac_dup_2grams, frac_numeric_tokens, frac_long_tokens,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 12.0
+                    AND frac_dup_2grams < 0.5) AS keep
+            FROM s
         """,
         "token_counts": """
             SELECT doc_id,

@@ -114,6 +114,61 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule-style quality signals (the published corpus-filter
+    family: mean word length, duplicate-n-gram fraction, symbol and
+    numeric ratios) — all JVM-side array expressions, zero UDF.
+
+    Columns (all ratios rounded to 6 dp, /0-guarded for ANSI mode):
+      n_words, mean_word_len, frac_dup_2grams (1 − distinct/total
+      bigrams — the repetition signal), frac_numeric_tokens,
+      frac_long_tokens (len > 10), keep (the gate: 3 ≤ mean_word_len
+      ≤ 12 AND frac_dup_2grams < 0.5)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, 2)),
+    )
+    n_grams = n - 1  # valid when n >= 2
+    frac_dup = F.when(
+        n >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    frac_numeric = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("double")
+        / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    frac_long = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: F.length(t) > 10)).cast("double")
+        / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    mean_r = F.round(mean_len, 6)
+    dup_r = F.round(frac_dup, 6)
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_r.alias("mean_word_len"),
+        dup_r.alias("frac_dup_2grams"),
+        F.round(frac_numeric, 6).alias("frac_numeric_tokens"),
+        F.round(frac_long, 6).alias("frac_long_tokens"),
+        (
+            (mean_r >= 3.0) & (mean_r <= 12.0) & (dup_r < 0.5)
+        ).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

@@ -235,3 +235,29 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image_real(b"\x89PNG fake")
+
+
+def test_gopher_quality_signals(spark):
+    from parserpdf_spark.operators.textops import gopher_quality
+
+    rows = [
+        (1, "the cat sat on the mat near the cat sat"),  # repeated bigram
+        (2, "spam spam spam spam spam spam"),            # all-dup bigrams
+        (3, "a1 22 333 normal words here 4444"),
+        (4, ""),                                          # empty doc
+        (5, "extraordinarily incomprehensibilities"),     # long tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+
+    assert got[2]["frac_dup_2grams"] == 0.8  # 5 bigrams, 1 distinct
+    assert got[2]["keep"] is False            # repetition gate fires
+    assert got[1]["frac_dup_2grams"] > 0
+    assert got[3]["frac_numeric_tokens"] == round(3 / 7, 6)  # 22, 333, 4444
+    assert got[4] == {
+        "doc_id": 4, "n_words": 0, "mean_word_len": 0.0,
+        "frac_dup_2grams": 0.0, "frac_numeric_tokens": 0.0,
+        "frac_long_tokens": 0.0, "keep": False,
+    }
+    assert got[5]["frac_long_tokens"] == 1.0
+    assert got[5]["keep"] is False  # mean_word_len > 12

@@ -1,0 +1,91 @@
+"""WARC source (sources/warc.py): stdlib record parsing + the
+record→docs bridge, end-to-end on the committed crawl fixtures."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parserpdf_spark.sources.warc import (
+    _doc_id_from_uri,
+    parse_warc,
+    warc_file_rows,
+    warc_to_docs,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES = os.path.join(REPO, "fixtures", "warc")
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(FIXTURES, name), "rb") as fh:
+        return fh.read()
+
+
+def test_parse_warc_record_framing():
+    recs = parse_warc(_read("crawl_0.warc"))
+    assert len(recs) == 9  # warcinfo + 6 html + request + jpeg
+    assert recs[0]["headers"]["warc-type"] == "warcinfo"
+    types = [r["headers"]["warc-type"] for r in recs]
+    assert types.count("response") == 7 and types.count("request") == 1
+    # Content-Length framing survives payloads containing CRLFCRLF
+    for r in recs:
+        assert len(r["body"]) == int(r["headers"]["content-length"])
+
+
+def test_parse_warc_gzip_transparent():
+    plain = gzip.decompress(_read("crawl_2.warc.gz"))
+    assert parse_warc(_read("crawl_2.warc.gz")) == parse_warc(plain)
+
+
+def test_parse_warc_rejects_garbage():
+    with pytest.raises(ValueError, match="WARC"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\nnot a warc\r\n\r\n")
+    with pytest.raises(ValueError, match="at offset"):
+        good = _read("crawl_0.warc")
+        parse_warc(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        good = _read("crawl_0.warc")
+        parse_warc(good[:170])  # cuts inside the first record's payload
+
+
+def test_warc_file_rows_statuses():
+    rows = warc_file_rows("/x/crawl_0.warc", _read("crawl_0.warc"))
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r["ingest_status"]] = by_status.get(r["ingest_status"], 0) + 1
+    assert by_status == {"ok": 6, "skipped": 3}
+    # garbage file → single error row, not an exception
+    bad = warc_file_rows("/x/bad.warc", b"garbage bytes")
+    assert len(bad) == 1 and bad[0]["ingest_status"] == "error"
+
+
+def test_doc_id_from_uri():
+    assert _doc_id_from_uri("https://a.b/docs/doc_5.html") == "doc_5"
+    assert _doc_id_from_uri("https://a.b/docs/doc_5.html?utm=x#frag") == "doc_5"
+    assert _doc_id_from_uri("https://a.b/page/") == "page"
+    assert _doc_id_from_uri("https://a.b/noext") == "noext"
+
+
+def test_warc_to_extraction_end_to_end(spark):
+    from parserpdf_spark.operators.extract import extract_docs
+    from parserpdf_spark.sources.scans import scan_multi
+
+    files = scan_multi(spark, FIXTURES, ["*.warc", "*.warc.gz"],
+                       with_content=True)
+    rows = warc_to_docs(files)
+    statuses = {
+        r["ingest_status"]: r["n"]
+        for r in rows.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
+    }
+    assert statuses == {"ok": 16, "skipped": 3, "error": 1}
+
+    docs = rows.filter(F.col("ingest_status") == "ok").select("doc_id", "spans")
+    extracted, metrics = extract_docs(docs, persist=True)
+    assert metrics.filter(F.col("status") != "ok").count() == 0
+
+    golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_warc.parquet"))
+    got = {tuple(r) for r in extracted.collect()}
+    want = {tuple(r) for r in golden.select(*extracted.columns).collect()}
+    assert got == want

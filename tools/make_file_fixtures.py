@@ -185,6 +185,115 @@ def build_corpus() -> None:
         fh.write("no extension at all\n")
 
 
+WARC_FIXTURES = os.path.join(REPO, "fixtures", "warc")
+
+
+def _warc_record(wtype: str, uri: str | None, payload: bytes, rec_no: int) -> bytes:
+    headers = [
+        "WARC/1.0",
+        f"WARC-Type: {wtype}",
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{rec_no:012d}>",
+        "WARC-Date: 2026-01-01T00:00:00Z",
+    ]
+    if uri:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers.append(f"Content-Length: {len(payload)}")
+    return "\r\n".join(headers).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, ctype: str) -> bytes:
+    head = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + body
+
+
+def build_warc_corpus() -> None:
+    """Three deterministic WARC files (one gzipped): html captures that
+    must extract, plus warcinfo/request/image/bad-utf8 records that must
+    surface as skipped/error — never silently vanish."""
+    import gzip
+
+    src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
+    html_of = lambda i: "".join(  # noqa: E731
+        s["text"] for s in synth_html_doc(str(i), by_id[i], i)
+    ).encode()
+    ids = sorted(i for i in by_id if i % 3 == 2)  # family-2 ids, unused above
+
+    if os.path.isdir(WARC_FIXTURES):
+        shutil.rmtree(WARC_FIXTURES)
+    os.makedirs(WARC_FIXTURES)
+    rec_no = 0
+
+    def rec(wtype, uri, payload):
+        nonlocal rec_no
+        rec_no += 1
+        return _warc_record(wtype, uri, payload, rec_no)
+
+    uri_of = lambda i: f"https://crawl.example/docs/doc_{i}.html"  # noqa: E731
+
+    w0 = [rec("warcinfo", None, b"software: synthetic-crawler/1.0\r\n")]
+    for i in ids[:6]:
+        w0.append(rec("response", uri_of(i), _http_response(html_of(i), "text/html; charset=utf-8")))
+    w0.append(rec("request", uri_of(ids[0]), b"GET /docs HTTP/1.1\r\nHost: crawl.example\r\n"))
+    w0.append(rec("response", "https://crawl.example/img/logo_3.jpeg",
+                  _http_response(b"\xff\xd8\xff fake jpeg", "image/jpeg")))
+    with open(os.path.join(WARC_FIXTURES, "crawl_0.warc"), "wb") as fh:
+        fh.write(b"".join(w0))
+
+    w1 = [rec("response", uri_of(i), _http_response(html_of(i), "text/html"))
+          for i in ids[6:12]]
+    w1.append(rec("response", "https://crawl.example/docs/broken_5.html",
+                  _http_response(b"\xff\xfe not utf8 \x80", "text/html")))
+    with open(os.path.join(WARC_FIXTURES, "crawl_1.warc"), "wb") as fh:
+        fh.write(b"".join(w1))
+
+    w2 = [rec("response", uri_of(i), _http_response(html_of(i), "application/xhtml+xml"))
+          for i in ids[12:16]]
+    with open(os.path.join(WARC_FIXTURES, "crawl_2.warc.gz"), "wb") as fh:
+        fh.write(gzip.compress(b"".join(w2)))
+
+
+def build_warc_goldens() -> None:
+    from parserpdf_spark.sources.warc import warc_file_rows
+
+    span_rows = {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+    status_rows = {
+        "doc_id": [], "src_path": [], "record_uri": [], "record_type": [],
+        "content_type": [], "ingest_status": [],
+    }
+    for name in sorted(os.listdir(WARC_FIXTURES)):
+        path = os.path.join(WARC_FIXTURES, name)
+        with open(path, "rb") as fh:
+            rows = warc_file_rows(path, fh.read())
+        for r in rows:
+            for k in status_rows:
+                status_rows[k].append(r[k])
+            if r["ingest_status"] != "ok":
+                continue
+            out, metrics = extract_document_safe(r["spans"])
+            assert metrics["status"] == "ok", (name, r["record_uri"], metrics)
+            for s in out:
+                span_rows["doc_id"].append(r["doc_id"])
+                span_rows["kind"].append(s["kind"])
+                span_rows["text"].append(s["text"])
+                span_rows["media_ref"].append(s["media_ref"])
+                span_rows["offset"].append(s["offset"])
+
+    spans = pd.DataFrame(span_rows)
+    spans["offset"] = spans["offset"].astype("int32")
+    spans.to_parquet(os.path.join(GOLDENS, "extract_warc.parquet"), index=False)
+    pd.DataFrame(status_rows).to_parquet(
+        os.path.join(GOLDENS, "warc_ingest_status.parquet"), index=False
+    )
+    print(
+        f"{WARC_FIXTURES}: {len(status_rows['ingest_status'])} records; "
+        f"goldens: {len(spans)} spans, {spans['doc_id'].nunique()} docs"
+    )
+
+
 def build_goldens() -> None:
     from parserpdf_spark.sources.files import route_file
 
@@ -227,3 +336,5 @@ def build_goldens() -> None:
 if __name__ == "__main__":
     build_corpus()
     build_goldens()
+    build_warc_corpus()
+    build_warc_goldens()
