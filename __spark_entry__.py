@@ -242,6 +242,49 @@ def q_warc_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-pipeline URL canonicalization: five messy-URL shapes (case,
+    default ports, tracking query, fragment, trailing slash, bare host)
+    synthesized deterministically per doc, parsed and normalized — the
+    dedup key a crawl corpus groups on."""
+    from parserpdf_spark.operators.urlops import normalize_urls, url_parts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    m = F.col("doc_id") % 5
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.com:443/en/doc_"), sid,
+            F.lit(".html?utm_source=x#frag")))
+        .when(m == 1, F.concat(F.lit("http://"), host,
+                               F.lit(":80/docs/doc_"), sid, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://"), host))
+        .when(m == 3, F.concat(F.lit("http://"), host,
+                               F.lit(":8080/doc_"), sid))
+        .otherwise(F.concat(F.lit("https://"), host,
+                            F.lit("/a/b/doc_"), sid, F.lit(".html")))
+    )
+    return normalize_urls(url_parts(docs.select("doc_id", url.alias("url"))))
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup over extracted spans:
+    per distinct para text, the copy count and the canonical occurrence
+    (min (doc_id, offset)).  Duplicates planted by re-extracting docs
+    with id<25 under a ``_copy`` suffix so the answer is non-trivial."""
+    from parserpdf_spark.operators.dedup import paragraph_dedup
+
+    e = _extracted(spark, sf_dir)
+    copies = e.filter(F.col("doc_id").cast("long") < 25).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("_copy"))
+    )
+    return paragraph_dedup(e.unionByName(copies))
+
+
 def q_ordered_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: downloads-list shape — per-doc artifact names ranked by
     doc_id, with the run archive prepended at position 0
@@ -846,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_ingest_gate": q_file_ingest_gate,
         "extract_from_warc": q_extract_from_warc,
         "warc_ingest_gate": q_warc_ingest_gate,
+        "url_normalize": q_url_normalize,
+        "para_dedup": q_para_dedup,
         "ordered_prepend": q_ordered_prepend,
         "page_filter_counts": q_page_filter_counts,
         "pricing_summary": q_pricing_summary,
@@ -1090,6 +1135,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, src_path, record_uri, record_type, content_type,
                    ingest_status
             FROM read_parquet('{GOLDEN_WARC_INGEST}')
+        """,
+        "url_normalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'https://WWW.' || upper(source)
+                    || '.Example.com:443/en/doc_' || CAST(doc_id AS VARCHAR)
+                    || '.html?utm_source=x#frag'
+                  WHEN 1 THEN 'http://' || source
+                    || '.example.com:80/docs/doc_' || CAST(doc_id AS VARCHAR) || '/'
+                  WHEN 2 THEN 'https://' || source || '.example.com'
+                  WHEN 3 THEN 'http://' || source
+                    || '.example.com:8080/doc_' || CAST(doc_id AS VARCHAR)
+                  ELSE 'https://' || source
+                    || '.example.com/a/b/doc_' || CAST(doc_id AS VARCHAR) || '.html'
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 1)) AS scheme,
+                regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 2) AS authority,
+                regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) AS path
+              FROM u
+            ), parsed AS (
+              SELECT doc_id, url, scheme,
+                lower(regexp_extract(authority, '^([^:]+)', 1)) AS host,
+                CAST(NULLIF(regexp_extract(authority, ':(\d+)$', 1), '')
+                     AS INT) AS port,
+                path
+              FROM parts
+            )
+            SELECT doc_id, url, scheme, host, port, path,
+                   scheme || '://' || host
+                   || CASE WHEN port IS NOT NULL
+                            AND NOT (scheme = 'http' AND port = 80)
+                            AND NOT (scheme = 'https' AND port = 443)
+                           THEN ':' || CAST(port AS VARCHAR) ELSE '' END
+                   || CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
+                           ELSE regexp_replace(path, '/$', '') END AS url_norm
+            FROM parsed
+        """,
+        "para_dedup": f"""
+            WITH p AS (
+              SELECT doc_id, "offset", md5(text) AS text_hash
+              FROM read_parquet('{GOLDEN}') WHERE kind = 'para'
+              UNION ALL
+              SELECT doc_id || '_copy', "offset", md5(text)
+              FROM read_parquet('{GOLDEN}')
+              WHERE kind = 'para' AND CAST(doc_id AS BIGINT) < 25
+            ), r AS (
+              SELECT text_hash, doc_id, "offset",
+                     row_number() OVER (PARTITION BY text_hash
+                          ORDER BY doc_id, "offset") AS rn,
+                     count(*) OVER (PARTITION BY text_hash) AS n
+              FROM p
+            )
+            SELECT text_hash, CAST(n AS BIGINT) AS n_copies,
+                   doc_id AS canonical_doc, "offset" AS canonical_offset
+            FROM r WHERE rn = 1
         """,
         "ordered_prepend": """
             SELECT CAST(0 AS INT) AS pos, 'run_archive.zip' AS artifact

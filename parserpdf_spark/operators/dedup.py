@@ -414,6 +414,35 @@ def embedding_dup_pairs_bucketed(
     )
 
 
+def paragraph_dedup(
+    extracted: DataFrame, kinds: tuple[str, ...] = ("para",)
+) -> DataFrame:
+    """Sub-document exact dedup: one row per distinct span text with its
+    copy count and canonical occurrence (min (doc_id, offset) — a total
+    order, deterministic across engines).
+
+    Shuffles (hash, doc_id, offset) triples, never the texts twice —
+    the hash-groupBy shape that scales; pair with MinHash for near-dup
+    paragraphs."""
+    paras = extracted.filter(F.col("kind").isin(*kinds)).select(
+        F.md5(F.col("text")).alias("text_hash"), "doc_id", "offset"
+    )
+    w = W.partitionBy("text_hash").orderBy(
+        F.col("doc_id").asc(), F.col("offset").asc()
+    )
+    return (
+        paras.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(W.partitionBy("text_hash")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "text_hash",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("offset").alias("canonical_offset"),
+        )
+    )
+
+
 def dedup_exact_keep_min(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: keep the min-id doc per distinct content hash."""
     w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.col("doc_id"))

@@ -261,3 +261,45 @@ def test_gopher_quality_signals(spark):
     }
     assert got[5]["frac_long_tokens"] == 1.0
     assert got[5]["keep"] is False  # mean_word_len > 12
+
+
+def test_url_normalization_rules(spark):
+    from parserpdf_spark.operators.urlops import normalize_urls, url_parts
+
+    rows = [
+        (1, "https://WWW.Site.COM:443/Path/?utm=1#frag"),
+        (2, "http://site.com:80/a/"),
+        (3, "https://site.com"),
+        (4, "http://site.com:8080/x"),
+        (5, "https://site.com/deep/page.html"),
+    ]
+    df = normalize_urls(url_parts(
+        spark.createDataFrame(rows, "id long, url string")
+    ))
+    got = {r["id"]: r.asDict() for r in df.collect()}
+    assert got[1]["url_norm"] == "https://www.site.com/Path"  # port+query+frag+slash gone, path case kept
+    assert got[1]["host"] == "www.site.com" and got[1]["port"] == 443
+    assert got[2]["url_norm"] == "http://site.com/a"
+    assert got[3]["url_norm"] == "https://site.com/"  # bare host -> root path
+    assert got[3]["port"] is None
+    assert got[4]["url_norm"] == "http://site.com:8080/x"  # non-default port kept
+    assert got[5]["url_norm"] == "https://site.com/deep/page.html"
+
+
+def test_paragraph_dedup_canonical_pick(spark):
+    from parserpdf_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        ("a", "para", "shared text", None, 0),
+        ("a", "para", "only in a", None, 1),
+        ("b", "para", "shared text", None, 0),
+        ("b", "heading", "shared text", None, 1),  # non-para ignored
+        ("a", "para", "shared text", None, 5),     # later copy in same doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    )
+    got = {r["text_hash"]: r.asDict() for r in paragraph_dedup(df).collect()}
+    assert len(got) == 2
+    shared = next(v for v in got.values() if v["n_copies"] == 3)
+    assert (shared["canonical_doc"], shared["canonical_offset"]) == ("a", 0)
