@@ -242,6 +242,42 @@ def q_warc_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 8-gram decontamination: eval = docs id<50; train =
+    docs id>=50 plus planted leaks (id+200000 carrying the first 20
+    words of eval docs id<10) so the contaminated set is non-trivial."""
+    from parserpdf_spark.operators.dedup import ngram_contamination
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    leaks = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 20)).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") >= 50).unionByName(leaks)
+    eval_docs = docs.filter(F.col("doc_id") < 50)
+    return ngram_contamination(train, eval_docs, n=8)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus balancing: per-lang keep fractions via md5
+    hash-threshold (reproducible on any cluster/engine — the binary-
+    exact fractions make the threshold arithmetic bit-stable too)."""
+    from parserpdf_spark.operators.dedup import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    kept = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "es": 0.75, "fr": 0.125, "zh": 0.0}
+    )
+    return kept.select("doc_id", "lang")
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-pipeline URL canonicalization: five messy-URL shapes (case,
     default ports, tracking query, fragment, trailing slash, bare host)
@@ -891,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_gate": q_warc_ingest_gate,
         "url_normalize": q_url_normalize,
         "para_dedup": q_para_dedup,
+        "decontamination": q_decontamination,
+        "stratified_sample": q_stratified_sample,
         "ordered_prepend": q_ordered_prepend,
         "page_filter_counts": q_page_filter_counts,
         "pricing_summary": q_pricing_summary,
@@ -1135,6 +1173,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, src_path, record_uri, record_type, content_type,
                    ingest_status
             FROM read_parquet('{GOLDEN_WARC_INGEST}')
+        """,
+        "decontamination": """
+            WITH train AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 50
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     array_to_string(list_slice(
+                       list_filter(string_split(text, ' '), x -> x != ''),
+                       1, 20), ' ') AS text
+              FROM documents WHERE doc_id < 10
+            ), ev AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 50
+            ), tsh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(toks) - 7),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))))
+                     AS shingle
+              FROM (SELECT doc_id,
+                           list_filter(string_split(lower(text), ' '),
+                                       x -> x != '') AS toks
+                    FROM train)
+              WHERE len(toks) >= 8
+            ), esh AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(len(toks) - 7),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))))
+                     AS shingle
+              FROM (SELECT list_filter(string_split(lower(text), ' '),
+                           x -> x != '') AS toks
+                    FROM ev)
+              WHERE len(toks) >= 8
+            ), hits AS (
+              SELECT doc_id, count(*) AS n FROM tsh
+              WHERE shingle IN (SELECT shingle FROM esh)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_ngrams,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM train t LEFT JOIN hits USING (doc_id)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(CONCAT('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000000
+                  < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                   WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.125
+                                   ELSE 0.0 END * 1000000 AS BIGINT)
         """,
         "url_normalize": r"""
             WITH u AS (

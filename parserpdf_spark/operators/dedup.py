@@ -414,6 +414,71 @@ def embedding_dup_pairs_bucketed(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: for every training doc, how many of
+    its distinct word ``n``-grams appear in ANY eval doc (and the flag).
+
+    Shape: two shingle sets joined on the shingle — Σ|bucket|² like
+    :func:`jaccard_pairs`, with the eval side distinct-ed first (eval
+    sets are small relative to the corpus; the join key can be hashed
+    with :func:`md5_60` to shrink the shuffle at extreme scale).  Every
+    train doc appears in the output (clean docs with 0 hits) — the
+    keep-with-status contract."""
+    t = word_shingles(train, n=n, text_col=text_col)
+    e = word_shingles(eval_docs, n=n, text_col=text_col).select(
+        "shingle"
+    ).distinct()
+    hits = (
+        t.join(e, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for corpus balancing: keep a
+    row iff ``md5_60(id) % 10^6 < fraction(key) * 10^6``.
+
+    No RNG state, no seed plumbing: the same row is kept in every run,
+    on every cluster, in every engine (the md5 bucket is the
+    reproducibility contract — ``sample()``'s Bernoulli draw is not
+    stable across partitionings)."""
+    from itertools import chain
+
+    frac_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(float(v))) for k, v in sorted(fractions.items())
+        )
+    )
+    frac = F.coalesce(frac_map[F.col(key_col)], F.lit(float(default)))
+    bucket = md5_60(F.col(id_col).cast("string")) % 1_000_000
+    return docs.filter(bucket < (frac * 1_000_000).cast("bigint"))
+
+
 def paragraph_dedup(
     extracted: DataFrame, kinds: tuple[str, ...] = ("para",)
 ) -> DataFrame:

@@ -303,3 +303,44 @@ def test_paragraph_dedup_canonical_pick(spark):
     assert len(got) == 2
     shared = next(v for v in got.values() if v["n_copies"] == 3)
     assert (shared["canonical_doc"], shared["canonical_offset"]) == ("a", 0)
+
+
+def test_ngram_contamination_flags_leaks(spark):
+    from parserpdf_spark.operators.dedup import ngram_contamination
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # embeds an 8-gram from the eval doc
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta trailing"),
+            (2, "totally clean text with none of those words present at all ok"),
+            (3, "short"),  # too short for any 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in ngram_contamination(train, ev).collect()}
+    assert got[1]["contaminated"] is True and got[1]["n_contaminated_ngrams"] >= 1
+    assert got[2] == {"doc_id": 2, "n_contaminated_ngrams": 0, "contaminated": False}
+    assert got[3]["contaminated"] is False  # short docs present, not dropped
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_med):
+    from parserpdf_spark.operators.dedup import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet").select("doc_id", "lang")
+    fr = {"en": 0.5, "de": 0.25, "es": 0.75, "fr": 0.125, "zh": 0.0}
+    k1 = {r["doc_id"] for r in stratified_sample(docs, fr).collect()}
+    k2 = {r["doc_id"] for r in stratified_sample(docs.repartition(13), fr).collect()}
+    assert k1 == k2  # partitioning-independent (the reproducibility claim)
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, fr).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "zh" not in kept  # fraction 0 keeps nothing
+    for lang, frac in (("en", 0.5), ("es", 0.75)):
+        ratio = kept[lang] / totals[lang]
+        assert abs(ratio - frac) < 0.2  # hash buckets roughly proportional
