@@ -127,9 +127,16 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
     for name in HEADLINE:
         if name not in qmap:
             continue
-        t0 = time.time()
-        qmap[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-2: the first execution of a query pays codegen + python
+        # worker warmup (observed 6× on the heavier dedup queries); the
+        # second run measures the operator
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qmap[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     ext2, _, _ = _timed_extract(spark, docs_path)
     ext_sec = min(ext1, ext2)
