@@ -242,6 +242,19 @@ def q_warc_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list → dedup clusters: connected components by
+    iterative min-label propagation over the Jaccard≥0.8 pairs (the
+    collapse step after LSH pair generation)."""
+    from parserpdf_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_aug_docs(spark, sf_dir), threshold=0.8)
+    return connected_components(pairs)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval 8-gram decontamination: eval = docs id<50; train =
     docs id>=50 plus planted leaks (id+200000 carrying the first 20
@@ -927,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_gate": q_warc_ingest_gate,
         "url_normalize": q_url_normalize,
         "para_dedup": q_para_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
         "ordered_prepend": q_ordered_prepend,
@@ -1173,6 +1187,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, src_path, record_uri, record_type, content_type,
                    ingest_status
             FROM read_parquet('{GOLDEN_WARC_INGEST}')
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_AUG_SQL}, {_SHINGLES_SQL},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM shingles a JOIN shingles b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6)
+                    >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+              UNION SELECT doc_a, doc_a FROM pairs
+              UNION SELECT doc_b, doc_b FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "decontamination": """
             WITH train AS (

@@ -414,6 +414,65 @@ def embedding_dup_pairs_bucketed(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id): connected components via
+    iterative min-label propagation, the step that collapses pair lists
+    into dedup groups (keep one doc per cluster).
+
+    Each iteration is one join + one groupBy over the (symmetrized +
+    self-loop) edge list: label(n) ← min over in-neighbors m of
+    label(m).  Converges in O(diameter) rounds — dup clusters are
+    near-cliques (diameter ≤ 2-3), so a handful of rounds in practice;
+    ``max_iters`` bounds pathological chains (the published
+    large-star/small-star scheme gets O(log n) worst-case if ever
+    needed).  Driver-side loop holds only a changed-row COUNT, never
+    data; per-round results are persisted and the previous round freed.
+    """
+    from pyspark import StorageLevel
+
+    # materialize the symmetrized edge list ONCE — the pair list's
+    # lineage (LSH, shingle joins, …) is expensive and every loop round
+    # would otherwise recompute it
+    a = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    b = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    sym = a.unionByName(b).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    self_loops = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    )
+    # localCheckpoint (not persist): iterative algorithms grow a nested
+    # plan every round — Catalyst re-analysis cost compounds until a
+    # 10-round loop spends minutes planning.  Checkpointing truncates
+    # the lineage so every round plans against a flat in-memory scan.
+    edges = sym.unionByName(self_loops).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        # self-loops make prop total over nodes; converged when no label
+        # shrank this round
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_docs: DataFrame,

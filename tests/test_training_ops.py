@@ -344,3 +344,20 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_med):
     for lang, frac in (("en", 0.5), ("es", 0.75)):
         ratio = kept[lang] / totals[lang]
         assert abs(ratio - frac) < 0.2  # hash buckets roughly proportional
+
+
+def test_connected_components_clusters(spark):
+    from parserpdf_spark.operators.dedup import connected_components
+
+    # two clusters: {1,2,3,4} chained, {7,8}; singleton pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+    # a longer chain than one round of propagation still converges
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "doc_a long, doc_b long"
+    )
+    got2 = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
+    assert set(got2.values()) == {10}
