@@ -164,3 +164,28 @@ def test_minhash_is_one_aggregate_no_perm_explode(spark, sf_small):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+# the two documented brute-force baselines are the ONLY queries allowed
+# a cartesian/broadcast-nested-loop pair space
+_CARTESIAN_OK = {"embedding_dups", "ann_topk", "ann_ivf_full_probe"}
+
+
+def test_no_driver_query_is_accidentally_cartesian(spark, sf_small):
+    """Plan-hygiene sweep over the whole driver surface: any query that
+    grows a CartesianProduct/BroadcastNestedLoopJoin outside the
+    documented brute-force baselines is a 100 TB regression."""
+    import __spark_entry__ as m
+
+    offenders = {}
+    for name, q in m.queries().items():
+        if name in _CARTESIAN_OK:
+            continue
+        plan = q(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            node for node in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if node in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"cartesian pair spaces crept in: {offenders}"
