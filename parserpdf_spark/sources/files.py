@@ -16,13 +16,13 @@ Routing (keep-with-status, mirroring the reference's extension gate at
 - ``.docx``/``.doc``  → stdlib OOXML shim (kernels/docx_extract.py) →
   one ``kind="html"`` span; unparseable files (corrupt zip, legacy OLE2
   ``.doc``) become ``ingest_status="error"`` rows
-- ``.pdf``            → ``ingest_status="needs_prechunk"``: PDF *binary*
-  layout analysis requires an external pre-chunker (a PDF raster/parse
-  library this container doesn't ship).  The contract: the pre-chunker
-  emits ``pdf_block`` spans (JSON ``{page,bbox,font_size,text}`` per
-  block) into the docs table, which IS the engine's pdf path
-  (kernels/pdf_extract.py) — exercised everywhere via the synthesized
-  table.  Bytes are carried, never parsed here.
+- ``.pdf``            → text-bearing PDFs parse from scratch
+  (kernels/pdf_binary.py: object/stream framing, FlateDecode, text
+  operators) into ``pdf_block`` spans that feed the existing layout
+  kernel.  PDFs outside the built-in subset (encrypted, scanned/
+  image-only, exotic encodings) keep the external pre-chunker contract:
+  ``ingest_status="needs_prechunk"``, spans to be supplied as JSON
+  ``{page,bbox,font_size,text}`` blocks by the pre-chunker.
 - anything else       → ``ingest_status="skipped"``
 
 Scale shape: one ``mapInPandas`` over Arrow batches of (path, content) —
@@ -80,11 +80,26 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
             row["ingest_status"] = "error"
             row["ingest_error"] = str(exc)
     elif suffix == ".pdf":
-        row["ingest_status"] = "needs_prechunk"
-        row["ingest_error"] = (
-            "pdf binary parse requires the external pre-chunker; feed its "
-            "pdf_block spans to the docs table instead"
-        )
+        # text-bearing PDFs parse from scratch (kernels/pdf_binary.py);
+        # anything outside that subset (encrypted, scanned/image-only,
+        # exotic encodings) keeps the external pre-chunker contract
+        import json
+
+        from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+        try:
+            blocks = pdf_to_blocks(bytes(content))
+            row["spans"] = [
+                {"kind": "pdf_block", "text": json.dumps(b),
+                 "media_ref": None, "offset": i}
+                for i, b in enumerate(blocks)
+            ]
+        except ValueError as exc:
+            row["ingest_status"] = "needs_prechunk"
+            row["ingest_error"] = (
+                f"outside the built-in pdf subset ({exc}); feed the "
+                "external pre-chunker's pdf_block spans instead"
+            )
     else:
         row["ingest_status"] = "skipped"
         row["ingest_error"] = f"unsupported extension {suffix!r}"

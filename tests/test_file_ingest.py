@@ -54,7 +54,9 @@ def test_docx_rejects_garbage():
 
 def test_route_file_statuses():
     assert route_file("/x/a.html", b"<p>hi</p>")["ingest_status"] == "ok"
-    assert route_file("/x/a.pdf", b"%PDF")["ingest_status"] == "needs_prechunk"
+    # a PDF outside the built-in text subset keeps the pre-chunker contract
+    assert route_file("/x/a.pdf", b"%PDF-1.4 no objects")["ingest_status"] == "needs_prechunk"
+    assert route_file("/x/a.pdf", b"not even a pdf")["ingest_status"] == "needs_prechunk"
     assert route_file("/x/a.txt", b"t")["ingest_status"] == "skipped"
     assert route_file("/x/LICENSE", b"t")["ingest_status"] == "skipped"
     bad = route_file("/x/a.docx", b"garbage")
@@ -77,11 +79,11 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 26, "error": 1, "needs_prechunk": 1, "skipped": 2}
+    assert statuses == {"ok": 30, "error": 1, "needs_prechunk": 1, "skipped": 2}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 26
+    assert metrics.count() == 30
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -146,9 +148,9 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 26, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 30, "error": 1, "needs_prechunk": 1, "skipped": 2,
     }
-    assert report["docs_by_status"] == {"ok": 26}
+    assert report["docs_by_status"] == {"ok": 30}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 
@@ -170,3 +172,52 @@ def test_docx_and_html_agree_on_shared_structure(spark):
         nid = int(doc_id.split("_")[1])
         words = [w for w in by_id[nid].split(" ") if w]
         assert heading == "# " + " ".join(words[:3])
+
+
+# ---------------------------------------------------------------------------
+# PDF binary kernel (pure python)
+# ---------------------------------------------------------------------------
+
+def test_pdf_binary_roundtrip_reading_order():
+    """Real .pdf bytes (built fixtures, one raw + one Flate) parse into
+    blocks whose kernel extraction reproduces the source text in exact
+    2-column reading order."""
+    import json
+
+    import pandas as pd
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
+    for name in ("doc_25.pdf", "doc_28.pdf"):  # raw, FlateDecode
+        blocks = pdf_to_blocks(_fixture_bytes(name))
+        spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
+        nid = int(name.split("_")[1].split(".")[0])
+        words = [w for w in by_id[nid].split(" ") if w]
+        assert spans[0]["kind"] == "heading"
+        assert spans[0]["text"] == "# " + " ".join(words[:3])
+        chunks = [
+            " ".join(words[3:][i:i + 12])
+            for i in range(0, len(words) - 3, 12)
+        ]
+        assert [s["text"] for s in spans if s["kind"] == "para"] == chunks
+
+
+def test_pdf_binary_rejects_out_of_subset():
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    with pytest.raises(ValueError, match="not a PDF"):
+        pdf_to_blocks(b"plain bytes")
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf_to_blocks(b"%PDF-1.4\n1 0 obj << /Encrypt 2 0 R >> endobj")
+    with pytest.raises(ValueError, match="no extractable text"):
+        pdf_to_blocks(b"%PDF-1.4\n%% nothing else")
+
+
+def test_pdf_string_escapes():
+    from parserpdf_spark.kernels.pdf_binary import _decode_pdf_string
+
+    assert _decode_pdf_string(rb"a\(b\)c \\ d") == "a(b)c \\ d"
+    assert _decode_pdf_string(rb"x\ny\t\101") == "x\ny\tA"

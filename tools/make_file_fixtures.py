@@ -149,6 +149,101 @@ def build_docx(nid: int, text: str) -> bytes:
     return buf.getvalue()
 
 
+PAGE_W, PAGE_H = 612, 842
+PDF_LEFT_X, PDF_RIGHT_X = 50, 310
+PDF_TOP_Y = 120
+PDF_ROW_PITCH = 50
+PDF_ROWS_PER_COL = 6
+PDF_BODY_SIZE, PDF_TITLE_SIZE = 10, 18
+PDF_LEADING = 12
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _pdf_text_block(x: float, y_top: float, size: int, lines: list[str]) -> str:
+    """One BT..ET block: absolute Td to the first baseline, T* steps."""
+    y_baseline = PAGE_H - y_top - size
+    ops = [f"BT /F1 {size} Tf {PDF_LEADING} TL {x} {y_baseline} Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("T*")
+        ops.append(f"({_pdf_escape(line)}) Tj")
+    ops.append("ET")
+    return " ".join(ops)
+
+
+def _wrap_words(words: list[str], per_line: int = 6) -> list[str]:
+    # 6 words/line → 2 lines per 12-word chunk → block height ~24pt at
+    # 50pt row pitch: the >15pt inter-row gap that separates 2-column
+    # TEXT from table grids in the layout kernel (ROW_GAP_MAX_PT)
+    return [" ".join(words[i:i + per_line]) for i in range(0, len(words), per_line)]
+
+
+def build_pdf(nid: int, text: str, compress: bool) -> bytes:
+    """A real (minimal, valid-xref) PDF: full-width title + two-column
+    body in the synth geometry; Flate-compressed streams on request."""
+    import zlib
+
+    words = _words(text)
+    pages_ops: dict[int, list[str]] = {}
+    title = " ".join(words[:HEAD_WORDS])
+    pages_ops[0] = [_pdf_text_block(PDF_LEFT_X, 40, PDF_TITLE_SIZE, [title])]
+    for i, chunk in enumerate(_chunks(words[HEAD_WORDS:], PARA_WORDS)):
+        page = i // (2 * PDF_ROWS_PER_COL)
+        slot = i % (2 * PDF_ROWS_PER_COL)
+        x = PDF_LEFT_X if slot < PDF_ROWS_PER_COL else PDF_RIGHT_X
+        row = slot % PDF_ROWS_PER_COL
+        y_top = PDF_TOP_Y + row * PDF_ROW_PITCH
+        pages_ops.setdefault(page, []).append(
+            _pdf_text_block(x, y_top, PDF_BODY_SIZE, _wrap_words(chunk))
+        )
+
+    n_pages = len(pages_ops)
+    # object numbering: 1 catalog, 2 pages-root, 3 font,
+    # then per page: 4+2k page, 5+2k contents
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{4 + 2 * k} 0 R" for k in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for k in range(n_pages):
+        content = "\n".join(pages_ops[k]).encode("latin-1")
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b"/Filter /FlateDecode "
+        objs[4 + 2 * k] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * k} 0 R >>".encode()
+        )
+        objs[5 + 2 * k] = (
+            b"<< " + filt + f"/Length {len(content)} >>".encode()
+            + b"\nstream\n" + content + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n_obj = max(objs) + 1
+    out += f"xref\n0 {n_obj}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def build_corpus() -> None:
     src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
@@ -173,6 +268,12 @@ def build_corpus() -> None:
     for i in docx_ids[:8]:
         with open(os.path.join(FIXTURES, f"doc_{i}.docx"), "wb") as fh:
             fh.write(build_docx(i, by_id[i]))
+
+    # real text-bearing PDFs through the binary kernel (2 raw, 2 Flate)
+    pdf_ids = docx_ids[8:12]
+    for j, i in enumerate(pdf_ids):
+        with open(os.path.join(FIXTURES, f"doc_{i}.pdf"), "wb") as fh:
+            fh.write(build_pdf(i, by_id[i], compress=j % 2 == 1))
 
     # edge cases: corrupt docx, pdf needing the pre-chunker, skipped kinds
     with open(os.path.join(FIXTURES, "broken_99.docx"), "wb") as fh:
