@@ -80,6 +80,28 @@ def main(argv=None, spark=None) -> int:
         for name in os.listdir(args.input)
     ):
         docs = spark.read.parquet(args.input)
+    elif any(
+        name.endswith((".warc", ".warc.gz")) for name in os.listdir(args.input)
+    ):
+        # crawl corpus: WARC records → bridge → canonical docs table
+        from pyspark.sql import functions as F
+
+        from parserpdf_spark.sources.scans import scan_multi
+        from parserpdf_spark.sources.warc import warc_to_docs
+
+        files = scan_multi(
+            spark, args.input, ["*.warc", "*.warc.gz"], with_content=True
+        )
+        bridged = warc_to_docs(files).persist()
+        ingest_report = {
+            r["ingest_status"]: r["n"]
+            for r in bridged.groupBy("ingest_status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        docs = bridged.filter(F.col("ingest_status") == "ok").select(
+            "doc_id", "spans"
+        )
     else:
         # raw files: scan → bridge → canonical docs table
         from pyspark.sql import functions as F

@@ -114,6 +114,37 @@ def run_incremental_file_ingestion(
     return query
 
 
+def run_incremental_warc_ingestion(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Watch a directory where crawl WARC files land (the CommonCrawl
+    delivery shape): each new .warc/.warc.gz is parsed, its HTML
+    captures extracted, exactly-once per file via the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from parserpdf_spark.sources.warc import warc_to_docs
+
+    files = stream_files(spark, input_dir, glob="*.warc*")
+    rows = warc_to_docs(files)
+    docs = rows.filter(F.col("ingest_status") == "ok").select(
+        "doc_id", "spans"
+    )
+    query = (
+        extract_combined(docs)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def windowed_event_counts(events: DataFrame) -> DataFrame:
     """Event-time windowed aggregation with late-data handling: 10-minute
     watermark, 1-hour tumbling windows per event_type — the streaming

@@ -89,3 +89,50 @@ def test_warc_to_extraction_end_to_end(spark):
     got = {tuple(r) for r in extracted.collect()}
     want = {tuple(r) for r in golden.select(*extracted.columns).collect()}
     assert got == want
+
+
+def test_extract_job_over_warc_dir(spark, tmp_path):
+    """The job CLI auto-detects a WARC input dir and reports per-record
+    ingest statuses alongside extraction statuses."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from parserpdf_spark.jobs.extract_job import main
+
+    out = str(tmp_path / "warcjob")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--input", FIXTURES, "--output", out, "--chunks", "2"],
+                  spark=spark)
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["files_by_ingest_status"] == {
+        "ok": 16, "skipped": 3, "error": 1,
+    }
+    assert report["docs_by_status"] == {"ok": 16}
+
+
+def test_streaming_warc_ingestion_incremental(spark, tmp_path):
+    """Drop WARC files one by one: only new files process; output docs
+    accumulate without dupes."""
+    import shutil
+
+    from parserpdf_spark.operators.extract import split_combined
+    from parserpdf_spark.streaming.ingest import run_incremental_warc_ingestion
+
+    watch = tmp_path / "crawl"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    shutil.copy(os.path.join(FIXTURES, "crawl_0.warc"), watch)
+    run_incremental_warc_ingestion(spark, str(watch), out, ck)
+    _, m1 = split_combined(spark.read.parquet(out))
+    assert m1.count() == 6  # crawl_0's html captures
+
+    shutil.copy(os.path.join(FIXTURES, "crawl_2.warc.gz"), watch)
+    run_incremental_warc_ingestion(spark, str(watch), out, ck)
+    _, m2 = split_combined(spark.read.parquet(out))
+    docs = [r["doc_id"] for r in m2.collect()]
+    assert len(docs) == 10 and len(set(docs)) == 10  # +4, no dupes
