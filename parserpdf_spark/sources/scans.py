@@ -15,6 +15,12 @@ Spark shape: the ``binaryFile`` source with ``pathGlobFilter`` +
 applies to the glob, and the result is a DataFrame of
 (path, modificationTime, length, content) instead of a driver-side
 ``list[Path]`` — the difference between 10^3 and 10^9 files.
+
+Caveat (Spark source behavior, verified): **zero-byte files are not
+listed** by the binaryFile source (no splits → no rows), so they bypass
+the bridges' keep-with-status rows entirely.  Recordless-but-nonempty
+files DO surface as error rows.  Audit empty files at the storage layer
+if their absence matters.
 """
 
 from __future__ import annotations

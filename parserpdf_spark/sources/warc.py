@@ -105,6 +105,14 @@ def warc_file_rows(path: str, data: bytes) -> list[dict[str, Any]]:
             "ingest_status": "error",
             "ingest_error": f"unparseable WARC: {exc}", "spans": [],
         }]
+    if not records:
+        # keep-with-status: an empty/recordless file must not vanish
+        return [{
+            "doc_id": None, "src_path": path, "record_uri": None,
+            "record_type": None, "content_type": None,
+            "ingest_status": "error",
+            "ingest_error": "WARC contains no records", "spans": [],
+        }]
     rows = []
     for rec in records:
         headers = rec["headers"]

@@ -59,3 +59,59 @@ def test_docx_kernel_never_raises_through_safe_path(junk):
     assert row["ingest_status"] in ("ok", "error")
     if row["ingest_status"] == "error":
         assert row["spans"] == []
+
+
+@settings(max_examples=30, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=400))
+def test_warc_parser_never_crashes_uncontrolled(junk):
+    """Arbitrary bytes → ValueError or records, never another exception;
+    and the row-level wrapper always yields status rows."""
+    from parserpdf_spark.sources.warc import parse_warc, warc_file_rows
+
+    try:
+        parse_warc(junk)
+    except ValueError:
+        pass
+    rows = warc_file_rows("/x/fuzz.warc", junk)
+    assert rows and all(
+        r["ingest_status"] in ("ok", "skipped", "error") for r in rows
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=400))
+def test_pdf_parser_never_crashes_uncontrolled(junk):
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.sources.files import route_file
+
+    try:
+        pdf_to_blocks(b"%PDF-" + junk)
+    except ValueError:
+        pass
+    row = route_file("/x/fuzz.pdf", junk)
+    assert row["ingest_status"] in ("ok", "needs_prechunk")
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    prefix=st.binary(min_size=0, max_size=50),
+    # embed delimiter-looking noise inside a fake stream body
+    noise=st.sampled_from([b"endstream", b"endobj", b"stream\r\n", b"BT", b"ET"]),
+)
+def test_pdf_parser_survives_delimiter_noise(prefix, noise):
+    """Delimiter keywords inside stream payloads must not corrupt
+    framing (streams are /Length-sized)."""
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    payload = prefix + noise + b" BT /F1 10 Tf 50 700 Td (ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 842] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(payload)).encode() + b" >>\n"
+        b"stream\n" + payload + b"\nendstream endobj\n"
+    )
+    blocks = pdf_to_blocks(pdf)
+    assert any("ok" in b["text"] for b in blocks)
