@@ -242,6 +242,19 @@ def q_warc_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation funnel (quality gate → exact dedup →
+    stratified sample) with per-stage doc counts — every stage
+    deterministic, so the funnel is bit-identical cross-engine."""
+    from parserpdf_spark.operators.curation import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, funnel = curate(
+        docs, {"en": 0.5, "de": 0.25, "es": 0.75, "fr": 0.125, "zh": 0.0}
+    )
+    return funnel
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair list → dedup clusters: connected components by
     iterative min-label propagation over the Jaccard≥0.8 pairs (the
@@ -940,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_gate": q_warc_ingest_gate,
         "url_normalize": q_url_normalize,
         "para_dedup": q_para_dedup,
+        "curation_funnel": q_curation_funnel,
         "dedup_clusters": q_dedup_clusters,
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
@@ -1187,6 +1201,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, src_path, record_uri, record_type, content_type,
                    ingest_status
             FROM read_parquet('{GOLDEN_WARC_INGEST}')
+        """,
+        "curation_funnel": """
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) > 0 THEN
+                  round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks), 6) ELSE 0.0 END AS mwl,
+                CASE WHEN len(toks) >= 2 THEN
+                  round(1.0 - CAST(len(list_distinct(list_transform(
+                    range(len(toks) - 1),
+                    i -> toks[CAST(i + 1 AS INT)] || chr(1)
+                         || toks[CAST(i + 2 AS INT)])))
+                    AS DOUBLE) / (len(toks) - 1), 6)
+                ELSE 0.0 END AS dup2
+              FROM t
+            ), kept AS (
+              SELECT doc_id FROM s
+              WHERE mwl >= 3.0 AND mwl <= 12.0 AND dup2 < 0.5
+            ), q AS (
+              SELECT d.doc_id, d.lang, d.text FROM documents d
+              JOIN kept USING (doc_id)
+            ), canon AS (
+              SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+            ), dd AS (
+              SELECT q.doc_id, q.lang FROM q JOIN canon USING (doc_id)
+            ), samp AS (
+              SELECT doc_id FROM dd
+              WHERE CAST(CONCAT('0x',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000
+                    < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                     WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.125
+                                     ELSE 0.0 END * 1000000 AS BIGINT)
+            )
+            SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            UNION ALL
+            SELECT '2_quality', CAST(count(*) AS BIGINT) FROM kept
+            UNION ALL
+            SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM dd
+            UNION ALL
+            SELECT '4_sample', CAST(count(*) AS BIGINT) FROM samp
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_AUG_SQL}, {_SHINGLES_SQL},

@@ -361,3 +361,17 @@ def test_connected_components_clusters(spark):
     )
     got2 = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
     assert set(got2.values()) == {10}
+
+
+def test_curation_funnel_monotone_and_deterministic(spark, sf_med):
+    from parserpdf_spark.operators.curation import curate
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    fr = {"en": 0.5, "de": 0.25, "es": 0.75, "fr": 0.125, "zh": 0.0}
+    curated, funnel = curate(docs, fr)
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages["1_raw"] >= stages["2_quality"] >= stages["3_dedup"] >= stages["4_sample"]
+    assert stages["4_sample"] == curated.count()
+    # deterministic across repartitionings
+    curated2, _ = curate(docs.repartition(7), fr)
+    assert {r["doc_id"] for r in curated.collect()} == {r["doc_id"] for r in curated2.collect()}
