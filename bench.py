@@ -39,6 +39,11 @@ REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))
 # headline set: the extraction pipeline (the product) + a representative
 # slice of the relational/auxiliary operator families
 HEADLINE = [
+    # the training-data scale paths (round 2) run FIRST: measured after
+    # the 500k-doc extraction bursts they absorb that run's GC/worker
+    # pressure and record 6-10× their steady-state cost
+    "minhash_lsh_pairs",
+    "embedding_dups_bucketed",
     "extract_full",
     "extract_order_checksum",
     "pricing_summary",
@@ -46,9 +51,6 @@ HEADLINE = [
     "window_topk",
     "event_hour_rollup",
     "dedup_exact",
-    # the training-data scale paths (round 2): bucketed, never all-pairs
-    "minhash_lsh_pairs",
-    "embedding_dups_bucketed",
 ]
 
 
