@@ -255,6 +255,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel
 
 
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: docs assigned to ~10k-token training
+    shards by running total in doc_id order (reproducible; each shard
+    ≤ budget + max_doc by construction)."""
+    from parserpdf_spark.operators.curation import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_shards(docs, shard_tokens=10_000)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair list → dedup clusters: connected components by
     iterative min-label propagation over the Jaccard≥0.8 pairs (the
@@ -954,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "para_dedup": q_para_dedup,
         "curation_funnel": q_curation_funnel,
+        "shard_packing": q_shard_packing,
         "dedup_clusters": q_dedup_clusters,
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
@@ -1201,6 +1212,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, src_path, record_uri, record_type, content_type,
                    ingest_status
             FROM read_parquet('{GOLDEN_WARC_INGEST}')
+        """,
+        "shard_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 10000.0) AS INT) AS shard_id
+            FROM t
         """,
         "curation_funnel": """
             WITH t AS (

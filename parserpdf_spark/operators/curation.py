@@ -59,3 +59,35 @@ def curate(
     ]
     funnel = spark.createDataFrame(counts, "stage string, n_docs long")
     return sampled, funnel
+
+
+def pack_shards(
+    docs: DataFrame,
+    shard_tokens: int,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed-budget training shards: running token total
+    in a deterministic order, shard = floor(cumulative_before / budget).
+
+    The order column makes packing reproducible (training-data shards
+    must be stable across reruns); a doc larger than the budget still
+    lands in exactly one shard.  The single global-ordering window is
+    the op's honest cost — at corpus scale, pack per partition key
+    (e.g. per language) so each stratum's window is independent."""
+    from pyspark.sql import Window as W
+
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    )
+    w = W.orderBy(F.col(order_col).asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    before = F.coalesce(
+        F.sum(toks).over(w), F.lit(0).cast("bigint")
+    )
+    return docs.select(
+        F.col(order_col).alias("doc_id"),
+        toks.cast("bigint").alias("n_tokens"),
+        F.floor(before / F.lit(int(shard_tokens))).cast("int").alias("shard_id"),
+    )

@@ -375,3 +375,24 @@ def test_curation_funnel_monotone_and_deterministic(spark, sf_med):
     # deterministic across repartitionings
     curated2, _ = curate(docs.repartition(7), fr)
     assert {r["doc_id"] for r in curated.collect()} == {r["doc_id"] for r in curated2.collect()}
+
+
+def test_shard_packing_budget_property(spark, sf_med):
+    from parserpdf_spark.operators.curation import pack_shards
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    packed = pack_shards(docs, shard_tokens=10_000).collect()
+    by_shard = {}
+    max_doc = 0
+    for r in packed:
+        by_shard[r["shard_id"]] = by_shard.get(r["shard_id"], 0) + r["n_tokens"]
+        max_doc = max(max_doc, r["n_tokens"])
+    # every shard is within budget + one max doc (the scheme's guarantee)
+    assert all(v <= 10_000 + max_doc for v in by_shard.values())
+    # shards are contiguous 0..K and all docs assigned exactly once
+    assert sorted(by_shard) == list(range(len(by_shard)))
+    assert len(packed) == docs.count()
+    # deterministic across partitionings
+    again = {(r["doc_id"], r["shard_id"])
+             for r in pack_shards(docs.repartition(9), shard_tokens=10_000).collect()}
+    assert again == {(r["doc_id"], r["shard_id"]) for r in packed}
