@@ -284,10 +284,8 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     words of eval docs id<10) so the contaminated set is non-trivial."""
     from parserpdf_spark.operators.dedup import ngram_contamination
 
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
     )
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     leaks = docs.filter(F.col("doc_id") < 10).select(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import io
 import zipfile
+import zlib
 from html import escape
 from xml.etree import ElementTree as ET
 
@@ -37,6 +38,8 @@ def _rels(zf: zipfile.ZipFile) -> dict[str, str]:
         data = zf.read("word/_rels/document.xml.rels")
     except KeyError:
         return {}
+    except (zipfile.BadZipFile, OSError, zlib.error) as exc:
+        raise ValueError(f"not a docx (corrupt rels stream): {exc}") from exc
     try:
         root = ET.fromstring(data)
     except ET.ParseError:
@@ -98,7 +101,10 @@ def docx_to_html(data: bytes) -> str:
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         doc = zf.read("word/document.xml")
-    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+    except (zipfile.BadZipFile, KeyError, OSError, zlib.error) as exc:
+        # zlib.error: structurally-valid zip whose deflate body is
+        # corrupt — must map to the status="error" contract, not a
+        # task-killing exception
         raise ValueError(f"not a docx (OOXML zip): {exc}") from exc
     try:
         root = ET.fromstring(doc)

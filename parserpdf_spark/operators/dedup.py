@@ -452,6 +452,7 @@ def connected_components(
     # the lineage so every round plans against a flat in-memory scan.
     edges = sym.unionByName(self_loops).localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    changed = 0
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -470,6 +471,15 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # never hand back wrong cluster ids silently: a component whose
+        # diameter exceeds max_iters would otherwise split into several
+        # partially-propagated labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still shrinking); raise max_iters — dup "
+            "graphs converging this slowly have chain-like components"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -52,6 +52,24 @@ def test_docx_rejects_garbage():
         docx_to_html(buf.getvalue())
 
 
+def test_docx_corrupt_deflate_is_error_row_not_zlib_error():
+    """A structurally-valid zip whose word/document.xml deflate stream
+    is corrupt raises zlib.error from zipfile.read — that must map to
+    the ValueError → status='error' contract, not kill the task."""
+    good = bytearray(_fixture_bytes("doc_1.docx"))
+    # stomp bytes shortly after the first local file header's name —
+    # inside the first member's deflate stream (document order: the
+    # [Content_Types].xml member; any member corruption must be caught)
+    start = good.find(b"word/document.xml")
+    if start < 0:  # fall back to corrupting past the first header
+        start = 60
+    good[start + 40 : start + 56] = b"\x00" * 16
+    with pytest.raises(ValueError, match="docx"):
+        docx_to_html(bytes(good))
+    row = route_file("/x/doc_1.docx", bytes(good))
+    assert row["ingest_status"] == "error"
+
+
 def test_route_file_statuses():
     assert route_file("/x/a.html", b"<p>hi</p>")["ingest_status"] == "ok"
     # a PDF outside the built-in text subset keeps the pre-chunker contract

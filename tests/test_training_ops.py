@@ -363,6 +363,20 @@ def test_connected_components_clusters(spark):
     assert set(got2.values()) == {10}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iters must raise — wrong
+    (partially-propagated) cluster ids can never be consumed silently."""
+    import pytest
+
+    from parserpdf_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+
+
 def test_curation_funnel_monotone_and_deterministic(spark, sf_med):
     from parserpdf_spark.operators.curation import curate
 

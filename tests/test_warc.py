@@ -50,6 +50,76 @@ def test_parse_warc_rejects_garbage():
         parse_warc(good[:170])  # cuts inside the first record's payload
 
 
+def test_parse_warc_corrupt_deflate_is_valueerror_not_zlib_error():
+    """Valid gzip magic + corrupt deflate body must surface as the
+    module's ValueError contract (→ one error row), never a raw
+    zlib.error that kills the Spark task."""
+    gz = bytearray(gzip.compress(_read("crawl_0.warc")))
+    gz[20:28] = b"\x00" * 8  # stomp the deflate stream mid-body
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(bytes(gz))
+    rows = warc_file_rows("/x/corrupt.warc.gz", bytes(gz))
+    assert rows[-1]["ingest_status"] == "error"
+    assert "gzip" in rows[-1]["ingest_error"]
+
+
+def test_warc_multimember_gz_streams_bounded():
+    """Member-per-record .warc.gz (the real crawl layout) parses
+    identically to the plain file through the incremental path, and the
+    parse buffer never holds more than ~one record + one inflate chunk."""
+    import parserpdf_spark.sources.warc as W
+
+    plain = _read("crawl_0.warc")
+    records = parse_warc(plain)
+    # re-frame each record as its own gzip member
+    offsets, pos = [], 0
+    multimember = b""
+    for rec in records:
+        head_end = plain.find(b"\r\n\r\n", pos)
+        end = head_end + 4 + int(rec["headers"]["content-length"]) + 4
+        multimember += gzip.compress(plain[pos:end])
+        pos = end
+    assert pos == len(plain)
+
+    max_buf = 0
+    real_next = W._next_record
+
+    def spy(buf, pos, final):
+        nonlocal max_buf
+        max_buf = max(max_buf, len(buf) - pos)
+        return real_next(buf, pos, final)
+
+    W._next_record = spy
+    try:
+        out_chunk = 512
+        got = list(W.iter_warc_records(multimember, out_chunk=out_chunk))
+    finally:
+        W._next_record = real_next
+    assert got == records
+    biggest = max(
+        len(r["body"]) + len(str(r["headers"])) + 64 for r in records
+    )
+    assert max_buf <= biggest + 2 * out_chunk
+
+
+def test_warc_midfile_break_keeps_parsed_records():
+    """Truncation after N good records keeps those records and appends
+    one trailing error row (keep-with-status, no silent loss)."""
+    plain = _read("crawl_0.warc")
+    head_end = plain.find(b"\r\n\r\n")
+    first_len = int(
+        dict(
+            line.split(": ", 1)
+            for line in plain[5:head_end].decode().split("\r\n")[1:]
+        )["Content-Length"]
+    )
+    cut = head_end + 4 + first_len + 4 + 100  # inside record 2
+    rows = warc_file_rows("/x/cut.warc", plain[:cut])
+    assert rows[0]["record_type"] == "warcinfo"
+    assert rows[-1]["ingest_status"] == "error"
+    assert "after 1 records" in rows[-1]["ingest_error"]
+
+
 def test_warc_file_rows_statuses():
     rows = warc_file_rows("/x/crawl_0.warc", _read("crawl_0.warc"))
     by_status: dict[str, int] = {}
