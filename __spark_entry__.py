@@ -256,13 +256,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget shard packing: docs assigned to ~10k-token training
-    shards by running total in doc_id order (reproducible; each shard
-    ≤ budget + max_doc by construction)."""
+    """Token-budget shard packing, PER STRATUM (language): docs assigned
+    to ~10k-token training shards by running total in doc_id order
+    within each lang (reproducible; each shard ≤ budget + max_doc by
+    construction).  Per-stratum windows partition the sort across the
+    cluster — no single-partition global window."""
     from parserpdf_spark.operators.curation import pack_shards
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pack_shards(docs, shard_tokens=10_000)
+    return pack_shards(docs, shard_tokens=10_000, stratum_col="lang")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,14 +1215,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shard_packing": """
             WITH t AS (
-              SELECT doc_id,
+              SELECT lang, doc_id,
                      CAST(len(list_filter(string_split(text, ' '),
                           x -> x != '')) AS BIGINT) AS n_tokens
               FROM documents
             )
-            SELECT doc_id, n_tokens,
+            SELECT lang, doc_id, n_tokens,
                    CAST(floor(coalesce(sum(n_tokens) OVER (
-                          ORDER BY doc_id
+                          PARTITION BY lang ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                         0) / 10000.0) AS INT) AS shard_id
             FROM t

@@ -15,7 +15,7 @@ engine-to-engine:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from parserpdf_spark.operators.dedup import stratified_sample
 from parserpdf_spark.operators.textops import gopher_quality
@@ -31,32 +31,47 @@ def curate(
 
     ``funnel`` is (stage string, n_docs bigint) for
     raw → quality → dedup → sample, each stage applied to the previous
-    stage's survivors.  One action materializes all four counts (the
-    stages are cached as a single lineage; counts are cheap aggregates).
+    stage's survivors.  The two heavy stages are persisted while the
+    four counts materialize, so the Gopher gate and the dedup semi-joins
+    each execute exactly ONCE per curate() call (not once per count);
+    both caches are freed before returning.  The returned curated
+    DataFrame is an ordinary lazy plan — persist it at the call site if
+    it feeds multiple downstream actions.
     """
+    from pyspark import StorageLevel
+
     quality_ids = gopher_quality(docs, text_col=text_col).filter(
         F.col("keep")
     ).select("doc_id")
-    quality = docs.join(quality_ids, "doc_id", "left_semi")
+    quality = docs.join(quality_ids, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     canonical = (
         quality.groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    deduped = quality.join(canonical, "doc_id", "left_semi")
+    deduped = quality.join(canonical, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     sampled = stratified_sample(
         deduped, fractions, key_col=key_col, id_col="doc_id"
     )
 
     spark = docs.sparkSession
+    # count order matters: quality.count() populates the quality cache,
+    # so deduped.count() computes canonical FROM that cache (the gopher
+    # lineage runs once); sampled is a filter over the deduped cache
     counts = [
         ("1_raw", docs.count()),
         ("2_quality", quality.count()),
         ("3_dedup", deduped.count()),
         ("4_sample", sampled.count()),
     ]
+    quality.unpersist()
+    deduped.unpersist()
     funnel = spark.createDataFrame(counts, "stage string, n_docs long")
     return sampled, funnel
 
@@ -64,29 +79,43 @@ def curate(
 def pack_shards(
     docs: DataFrame,
     shard_tokens: int,
+    *,
+    stratum_col: str | None,
     text_col: str = "text",
     order_col: str = "doc_id",
 ) -> DataFrame:
     """Assign docs to fixed-budget training shards: running token total
     in a deterministic order, shard = floor(cumulative_before / budget).
 
+    ``stratum_col`` is required (pass ``None`` explicitly for the global
+    form): with a stratum (e.g. language, domain, date bucket) each
+    stratum packs independently under
+    ``Window.partitionBy(stratum).orderBy(order)`` — strata sort in
+    parallel across the cluster and no task ever sees the whole corpus.
+    ``stratum_col=None`` is the tiny-corpus special case: a single
+    global ordering window, which Spark executes as a one-task
+    single-partition sort — correct, but deliberately opt-in because it
+    cannot scale.
+
     The order column makes packing reproducible (training-data shards
     must be stable across reruns); a doc larger than the budget still
-    lands in exactly one shard.  The single global-ordering window is
-    the op's honest cost — at corpus scale, pack per partition key
-    (e.g. per language) so each stratum's window is independent."""
-    from pyspark.sql import Window as W
-
+    lands in exactly one shard.
+    """
     toks = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     )
-    w = W.orderBy(F.col(order_col).asc()).rowsBetween(
-        W.unboundedPreceding, -1
-    )
+    if stratum_col is None:
+        w = W.orderBy(F.col(order_col).asc())
+        lead_cols = []
+    else:
+        w = W.partitionBy(stratum_col).orderBy(F.col(order_col).asc())
+        lead_cols = [F.col(stratum_col).alias(stratum_col)]
+    w = w.rowsBetween(W.unboundedPreceding, -1)
     before = F.coalesce(
         F.sum(toks).over(w), F.lit(0).cast("bigint")
     )
     return docs.select(
+        *lead_cols,
         F.col(order_col).alias("doc_id"),
         toks.cast("bigint").alias("n_tokens"),
         F.floor(before / F.lit(int(shard_tokens))).cast("int").alias("shard_id"),

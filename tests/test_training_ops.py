@@ -395,7 +395,7 @@ def test_shard_packing_budget_property(spark, sf_med):
     from parserpdf_spark.operators.curation import pack_shards
 
     docs = spark.read.parquet(f"{sf_med}/documents.parquet")
-    packed = pack_shards(docs, shard_tokens=10_000).collect()
+    packed = pack_shards(docs, shard_tokens=10_000, stratum_col=None).collect()
     by_shard = {}
     max_doc = 0
     for r in packed:
@@ -408,5 +408,64 @@ def test_shard_packing_budget_property(spark, sf_med):
     assert len(packed) == docs.count()
     # deterministic across partitionings
     again = {(r["doc_id"], r["shard_id"])
-             for r in pack_shards(docs.repartition(9), shard_tokens=10_000).collect()}
+             for r in pack_shards(docs.repartition(9), shard_tokens=10_000,
+                                  stratum_col=None).collect()}
     assert again == {(r["doc_id"], r["shard_id"]) for r in packed}
+
+
+def test_shard_packing_per_stratum(spark, sf_med):
+    """Per-stratum packing: budgets hold within every stratum, shard ids
+    restart per stratum, and the plan has NO single-partition Exchange
+    (the global form's scale-killer)."""
+    from parserpdf_spark.operators.curation import pack_shards
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    packed_df = pack_shards(docs, shard_tokens=10_000, stratum_col="lang")
+    plan = packed_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # ... while the opt-in global form IS the single-partition sort
+    global_plan = (
+        pack_shards(docs, shard_tokens=10_000, stratum_col=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" in global_plan
+
+    packed = packed_df.collect()
+    assert len(packed) == docs.count()
+    by_stratum_shard: dict = {}
+    max_doc: dict = {}
+    for r in packed:
+        key = (r["lang"], r["shard_id"])
+        by_stratum_shard[key] = by_stratum_shard.get(key, 0) + r["n_tokens"]
+        max_doc[r["lang"]] = max(max_doc.get(r["lang"], 0), r["n_tokens"])
+    assert all(
+        v <= 10_000 + max_doc[lang] for (lang, _), v in by_stratum_shard.items()
+    )
+    # shard ids are contiguous 0..K within each stratum
+    langs = {lang for lang, _ in by_stratum_shard}
+    for lang in langs:
+        ids = sorted(s for lg, s in by_stratum_shard if lg == lang)
+        assert ids == list(range(len(ids)))
+
+
+def test_curate_runs_heavy_stages_once(spark, sf_med):
+    """The funnel's four counts must not recompute the quality/dedup
+    lineage: wrap the docs scan in a row-counting accumulator and assert
+    the source is read exactly 3x docs (1 raw count + the two branches
+    of the quality semi-join) — the old uncached form read it 11x."""
+    from parserpdf_spark.operators.curation import curate
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    n = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = docs.mapInPandas(counting, schema=docs.schema)
+    fr = {"en": 0.5, "de": 0.25, "es": 0.75, "fr": 0.125, "zh": 0.0}
+    _, funnel = curate(counted, fr)
+    assert funnel.count() == 4
+    assert acc.value == 3 * n
