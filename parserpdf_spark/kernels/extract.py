@@ -15,9 +15,10 @@ from html import escape
 from typing import Any
 
 from parserpdf_spark.kernels.html_extract import extract_html
+from parserpdf_spark.kernels.md_extract import markdown_to_spans
 from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
 
-INPUT_KINDS = frozenset({"html", "pdf_block", "media"})
+INPUT_KINDS = frozenset({"html", "pdf_block", "media", "markdown"})
 
 
 def _sorted_spans(spans: list[dict]) -> list[dict]:
@@ -40,6 +41,10 @@ def extract_document(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
     - Contiguous ``pdf_block`` spans form one layout run; offset order is
       ignored inside the run (bbox gives reading order, family B).  A
       ``media`` span breaks the run — it is an interleave point (C2).
+    - Contiguous ``markdown`` spans form one passthrough stream
+      (the reference collects .md files as-is,
+      ``utils/file_utils.py:465-471``); ``media`` spans inside it splice
+      in as ``![](ref)`` blocks at their source position.
     - ``media`` spans outside any run become standalone image spans.
 
     Raises on malformed input; use :func:`extract_document_safe` in the
@@ -48,6 +53,7 @@ def extract_document(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
     out: list[dict] = []
     html_parts: list[str] = []
     pdf_parts: list[tuple[str, str | None]] = []
+    md_parts: list[str] = []
 
     def flush_html():
         if html_parts:
@@ -59,26 +65,42 @@ def extract_document(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
             out.extend(extract_pdf_blocks(list(pdf_parts)))
             pdf_parts.clear()
 
+    def flush_md():
+        if md_parts:
+            out.extend(markdown_to_spans("".join(md_parts)))
+            md_parts.clear()
+
     for span in _sorted_spans(spans):
         kind = span.get("kind")
         if kind == "html":
             flush_pdf()
+            flush_md()
             text = span.get("text")
             if text is None:
                 raise ValueError("html span with null text")
             html_parts.append(text)
         elif kind == "pdf_block":
             flush_html()
+            flush_md()
             text = span.get("text")
             if text is None:
                 raise ValueError("pdf_block span with null text")
             pdf_parts.append((text, span.get("media_ref")))
+        elif kind == "markdown":
+            flush_html()
+            flush_pdf()
+            text = span.get("text")
+            if text is None:
+                raise ValueError("markdown span with null text")
+            md_parts.append(text)
         elif kind == "media":
             ref = span.get("media_ref")
             if ref is None:
                 raise ValueError("media span with null media_ref")
             if html_parts:
                 html_parts.append(f'<x-media ref="{escape(ref, quote=True)}"/>')
+            elif md_parts:
+                md_parts.append(f"\n\n![]({ref})\n\n")
             else:
                 flush_pdf()
                 out.append({"kind": "image", "text": "", "media_ref": ref})
@@ -86,6 +108,7 @@ def extract_document(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
             raise ValueError(f"unknown span kind: {kind!r}")
     flush_html()
     flush_pdf()
+    flush_md()
 
     for i, span in enumerate(out):
         span["offset"] = i

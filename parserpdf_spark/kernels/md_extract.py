@@ -1,0 +1,95 @@
+"""Markdown → spans splitter (pure python, stdlib only).
+
+The reference collects ``.md`` files alongside converted documents
+(``utils/file_utils.py:465-471``) — markdown IS its output format, so
+ingesting one is a passthrough, not a conversion.  This module splits a
+markdown document into the engine's span kinds, inverting the canonical
+rendering of ``operators/sinks.render_markdown_col`` (spans joined by
+blank lines; image spans as ``![](ref)`` lines; headings/lists/tables
+verbatim):
+
+- ATX headings (``# …``)            → ``heading`` (kept verbatim)
+- ```` ``` ```` fenced blocks        → ``code`` (fences stripped)
+- ``![alt](ref)``-only blocks        → ``image`` (media_ref = ref)
+- ``|``-table blocks                 → ``table`` (verbatim)
+- ``- ``-prefixed line blocks        → ``list`` (verbatim)
+- ``**Fig./Figure/Table/Tab. …**``   → ``caption`` (verbatim)
+- everything else                    → ``para`` (hard wraps unwrapped)
+"""
+
+from __future__ import annotations
+
+import re
+
+_IMAGE_RE = re.compile(r"^!\[[^\]]*\]\(([^)]*)\)\s*$")
+_HEADING_RE = re.compile(r"^#{1,6}\s")
+_CAPTION_RE = re.compile(r"^\*\*(?:fig\.|figure|table|tab\.)", re.I)
+
+
+def _split_blocks(text: str) -> list[str]:
+    """Blank-line separated blocks, with fenced code kept whole."""
+    blocks: list[str] = []
+    cur: list[str] = []
+    in_fence = False
+    for line in text.split("\n"):
+        if line.lstrip().startswith("```"):
+            cur.append(line)
+            if in_fence:  # closing fence ends the block
+                blocks.append("\n".join(cur))
+                cur = []
+            in_fence = not in_fence
+            continue
+        if in_fence:
+            cur.append(line)
+            continue
+        if line.strip() == "":
+            if cur:
+                blocks.append("\n".join(cur))
+                cur = []
+        else:
+            cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
+def markdown_to_spans(text: str) -> list[dict]:
+    """One markdown document → output-span dicts (kind, text, media_ref);
+    offsets are assigned downstream by the dispatcher."""
+    out: list[dict] = []
+    for block in _split_blocks(text):
+        lines = block.split("\n")
+        stripped = block.strip()
+        m = _IMAGE_RE.match(stripped)
+        if m:
+            out.append({"kind": "image", "text": "", "media_ref": m.group(1)})
+            continue
+        if _HEADING_RE.match(stripped):
+            out.append({"kind": "heading", "text": stripped, "media_ref": None})
+            continue
+        if stripped.startswith("```"):
+            inner = lines[1:-1] if len(lines) >= 2 else []
+            out.append({
+                "kind": "code", "text": "\n".join(inner), "media_ref": None,
+            })
+            continue
+        if (
+            len(lines) >= 2
+            and lines[0].lstrip().startswith("|")
+            and set(lines[1].replace(" ", "")) <= set("|-:")
+        ):
+            out.append({"kind": "table", "text": stripped, "media_ref": None})
+            continue
+        if all(ln.lstrip().startswith(("- ", "* ")) for ln in lines):
+            out.append({"kind": "list", "text": stripped, "media_ref": None})
+            continue
+        if _CAPTION_RE.match(stripped) and stripped.endswith("**"):
+            out.append({"kind": "caption", "text": stripped, "media_ref": None})
+            continue
+        # paragraph: unwrap hard line breaks
+        out.append({
+            "kind": "para",
+            "text": " ".join(ln.strip() for ln in lines if ln.strip()),
+            "media_ref": None,
+        })
+    return out

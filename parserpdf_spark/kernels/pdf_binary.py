@@ -1,11 +1,11 @@
-"""Minimal PDF *binary* text extractor (pure python, stdlib + zlib).
+"""Minimal PDF *binary* text + image extractor (pure python, stdlib + zlib).
 
 The reference feeds PDF files to Marker (``converters/pdf_to_md.py:159``);
 this container ships no PDF library, but the subset of PDF that carries
 digital text is parseable from scratch: objects are plain ``N 0 obj …
 endobj`` frames, page content streams are either raw or FlateDecode
 (zlib), and text is positioned with a small operator set (Tf/Td/TD/TL/
-T*/Tm) and shown with Tj/TJ.  This module turns such PDFs into the
+T*/Tm) and shown with Tj/TJ/'.  This module turns such PDFs into the
 engine's ``pdf_block`` span dicts — the SAME input contract the layout
 kernel (kernels/pdf_extract.py) already consumes — so real .pdf bytes
 flow through the existing band/column/reading-order machinery:
@@ -13,10 +13,29 @@ flow through the existing band/column/reading-order machinery:
     pdf bytes → pdf_to_blocks → {"page","bbox","font_size","text",…}
              → extract_pdf_blocks → ordered markdown spans
 
-Scope (honest): text-bearing, non-encrypted PDFs with per-BT text
-blocks; no font-metric width tables (widths are estimated from char
-counts), no image XObjects, no CID/Type0 re-encoding.  Anything outside
-the subset raises ValueError and the ingestion bridge keeps the
+Supported (all from scratch):
+
+- page order via the /Root → /Pages → /Kids tree (appearance order of
+  /Type /Page objects only as a documented fallback when no catalog
+  parses); /Contents as a direct ref, an array of refs, or an indirect
+  ref to an array — an unresolvable /Contents raises (never a silently
+  missing page)
+- glyph advance from real width tables: embedded /Widths + /FirstChar
+  arrays, or the standard-14 AFM metrics (Helvetica/Times/Courier
+  families, public Adobe Core 14 data) keyed by /BaseFont; estimated
+  widths (CHAR_WIDTH_FRAC) only as the fallback for unknown fonts
+- composite Type0 fonts with /Encoding /Identity-H: 2-byte CIDs from
+  hex strings, text recovered through the /ToUnicode CMap
+  (bfchar/bfrange), advances from the descendant CIDFont's /W + /DW
+- image XObjects: ``/Resources /XObject`` names invoked by ``Do`` are
+  placed via the graphics-state CTM (q/Q/cm tracked) and emitted as
+  media blocks (``media_ref`` set), with their raw payload bytes
+  (DCTDecode JPEGs pass through unchanged) surfaced for the image sink
+
+Scope (honest): non-encrypted PDFs; no xref/object streams
+(PDF 1.5 compressed xref), no inline images (BI…EI), no Form XObject
+recursion, no CID encodings beyond Identity-H.  Anything outside the
+subset raises ValueError and the ingestion bridge keeps the
 ``needs_prechunk`` contract for it.
 
 Coordinates: PDF user space is bottom-up; blocks are converted to the
@@ -29,49 +48,99 @@ import re
 import zlib
 
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-# one operator step inside a text object: operands then an operator name
+# one operator step: operands (strings/hex/arrays/names/numbers) then an
+# operator name.  <hex> must not swallow dict markers (<<)
 _TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)|\[(?:[^\]\\]|\\.)*\]|/[A-Za-z0-9]+"
-    rb"|-?\d+(?:\.\d+)?|[A-Za-z*']+"
+    rb"\((?:[^()\\]|\\.)*\)|<(?![<])[0-9A-Fa-f\s]*>"
+    rb"|\[(?:\((?:[^()\\]|\\.)*\)|<(?![<])[0-9A-Fa-f\s]*>|[^\]\\()]|\\.)*\]"
+    rb"|/[A-Za-z0-9_.+-]+|-?\.?\d+(?:\.\d+)?|[A-Za-z*'\"]+"
 )
-_STRING_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
+# items inside a TJ array: strings, hex strings, kerning numbers
+_TJ_ITEM_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)|<(?![<])[0-9A-Fa-f\s]*>|-?\.?\d+(?:\.\d+)?"
+)
+_REF_LIST_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
-# estimated glyph width as a fraction of font size (no metrics tables in
-# scope; only relative geometry matters to the layout kernel)
+# estimated glyph width as a fraction of font size — the FALLBACK when
+# no metrics are available (unknown BaseFont without /Widths); only
+# relative geometry matters to the layout kernel
 CHAR_WIDTH_FRAC = 0.5
 LINE_LEADING_FRAC = 1.2
 
+# ---------------------------------------------------------------------------
+# Standard-14 metrics (public Adobe Core 14 AFM data, chars 32..126,
+# thousandths of an em).  Variants map to the closest base face; Courier
+# is fixed-pitch 600.
+# ---------------------------------------------------------------------------
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """(…) literal → text, handling \\ escapes and octal codes."""
-    out = []
-    i, n = 0, len(raw)
-    while i < n:
-        c = raw[i]
-        if c == 0x5C and i + 1 < n:  # backslash
-            nxt = raw[i + 1]
-            if nxt in b"nrtbf":
-                out.append({"n": "\n", "r": "\r", "t": "\t",
-                            "b": "\b", "f": "\f"}[chr(nxt)])
-                i += 2
-            elif 0x30 <= nxt <= 0x37:  # octal \nnn (1-3 digits)
-                j = i + 1
-                digits = b""
-                while j < n and len(digits) < 3 and 0x30 <= raw[j] <= 0x37:
-                    digits += raw[j:j + 1]
-                    j += 1
-                out.append(chr(int(digits, 8)))
-                i = j
-            else:
-                out.append(chr(nxt))
-                i += 2
-        else:
-            out.append(chr(c))
-            i += 1
-    return "".join(out)
+_HELVETICA = [
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+]
+_HELVETICA_BOLD = [
+    278, 333, 474, 556, 556, 889, 722, 238, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 333, 333,
+    584, 584, 584, 611, 975, 722, 722, 722, 722, 667, 611, 778, 722, 278,
+    556, 722, 611, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 333, 278, 333, 584, 556, 333, 556, 611, 556, 611, 556,
+    333, 611, 611, 278, 278, 556, 278, 889, 611, 611, 611, 611, 389, 556,
+    333, 611, 556, 778, 556, 556, 500, 389, 280, 389, 584,
+]
+_TIMES_ROMAN = [
+    250, 333, 408, 500, 500, 833, 778, 180, 333, 333, 500, 564, 250, 333,
+    250, 278, 500, 500, 500, 500, 500, 500, 500, 500, 500, 500, 278, 278,
+    564, 564, 564, 444, 921, 722, 667, 667, 722, 611, 556, 722, 722, 333,
+    389, 722, 611, 889, 722, 722, 556, 722, 667, 556, 611, 722, 722, 944,
+    722, 722, 611, 333, 278, 333, 469, 500, 333, 444, 500, 444, 500, 444,
+    333, 500, 500, 278, 278, 500, 278, 778, 500, 500, 500, 500, 333, 389,
+    278, 500, 500, 722, 500, 500, 444, 480, 200, 480, 541,
+]
 
 
-def _page_stream(body: bytes) -> bytes | None:
+def _std_widths(base: str) -> dict[int, int] | None:
+    """BaseFont name → {char code: width/1000} for the standard-14
+    families (subset prefixes like ``ABCDEF+`` stripped; bold/italic
+    variants map to the nearest measured face)."""
+    name = base.split("+", 1)[-1].lower().replace("-", "").replace(" ", "")
+    table = None
+    if name.startswith(("helveticabold", "arialbold")):
+        table = _HELVETICA_BOLD
+    elif name.startswith(("helvetica", "arial")):
+        table = _HELVETICA
+    elif name.startswith(("times", "timesnewroman")):
+        table = _TIMES_ROMAN
+    elif name.startswith("courier"):
+        return {c: 600 for c in range(32, 127)}
+    if table is None:
+        return None
+    return {c + 32: w for c, w in enumerate(table)}
+
+
+# ---------------------------------------------------------------------------
+# Low-level object machinery
+# ---------------------------------------------------------------------------
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    """Object bodies span to the NEXT object header (not to 'endobj':
+    binary stream payloads can contain that word by chance)."""
+    headers = list(re.finditer(rb"(\d+)\s+\d+\s+obj\b", data))
+    objects: dict[int, bytes] = {}
+    for i, m in enumerate(headers):
+        end = headers[i + 1].start() if i + 1 < len(headers) else len(data)
+        objects[int(m.group(1))] = data[m.end() : end]
+    return objects
+
+
+def _head(body: bytes) -> bytes:
+    return body.split(b"stream", 1)[0]
+
+
+def _stream_payload(body: bytes) -> bytes | None:
     """Stream payload of one object.  Sized by /Length when present —
     compressed bytes can contain ``endstream``/``endobj`` sequences, so
     delimiter scanning alone silently truncates (observed)."""
@@ -95,40 +164,444 @@ def _page_stream(body: bytes) -> bytes | None:
     return data
 
 
+def _ref(head: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", head)
+    return int(m.group(1)) if m else None
+
+
+def _balanced(src: bytes, start: int, open_b: bytes, close_b: bytes) -> bytes:
+    """src[start:] starts at ``open_b``; return the balanced region
+    (inclusive).  Used for ``<< … >>`` dicts and ``[ … ]`` arrays whose
+    contents may nest."""
+    depth = 0
+    i = start
+    step = len(open_b)
+    while i < len(src):
+        if src[i : i + step] == open_b:
+            depth += 1
+            i += step
+        elif src[i : i + len(close_b)] == close_b:
+            depth -= 1
+            i += len(close_b)
+            if depth == 0:
+                return src[start:i]
+        else:
+            i += 1
+    raise ValueError("unbalanced PDF dictionary/array")
+
+
+def _dict_value(
+    objects: dict[int, bytes], src: bytes, key: bytes
+) -> bytes | None:
+    """The value region for ``/key`` in a dict: an inline ``<< … >>``,
+    an inline ``[ … ]``, or an indirect ref resolved to the target's
+    head (dict objects) / full body (so streams stay reachable)."""
+    m = re.search(rb"/" + key + rb"\s*(<<|\[|(\d+)\s+\d+\s+R)", src)
+    if m is None:
+        return None
+    if m.group(1) == b"<<":
+        return _balanced(src, m.start(1), b"<<", b">>")
+    if m.group(1) == b"[":
+        return _balanced(src, m.start(1), b"[", b"]")
+    num = int(m.group(2))
+    if num not in objects:
+        return None
+    return objects[num]
+
+
+# ---------------------------------------------------------------------------
+# Page tree + content streams
+# ---------------------------------------------------------------------------
+
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
+
+
+def _page_numbers(objects: dict[int, bytes]) -> list[int]:
+    """Document page order via /Root → /Pages → /Kids; falls back to the
+    appearance order of /Type /Page objects when no catalog/tree parses
+    (the pre-tree behavior, now explicit instead of implicit)."""
+    pages_root = None
+    for body in objects.values():
+        h = _head(body)
+        if b"/Catalog" in h and b"/Type" in h:
+            pages_root = _ref(h, b"Pages")
+            break
+
+    order: list[int] = []
+    if pages_root is not None and pages_root in objects:
+        seen: set[int] = set()
+
+        def walk(num: int) -> None:
+            if num in seen:
+                raise ValueError("cycle in /Pages /Kids tree")
+            seen.add(num)
+            h = _head(objects.get(num, b""))
+            if _PAGES_TYPE_RE.search(h):
+                kids = _dict_value(objects, h, b"Kids")
+                if kids is None:
+                    raise ValueError(f"/Pages object {num} without /Kids")
+                for m in _REF_LIST_RE.finditer(kids):
+                    walk(int(m.group(1)))
+            elif _PAGE_TYPE_RE.search(h):
+                order.append(num)
+            # other node types inside Kids are ignored
+
+        walk(pages_root)
+    if not order:  # documented fallback: appearance order
+        order = [
+            num for num, body in objects.items()
+            if _PAGE_TYPE_RE.search(_head(body))
+        ]
+    return order
+
+
+def _content_stream(objects: dict[int, bytes], page_head: bytes, num: int) -> bytes:
+    """Resolve /Contents (direct ref, array of refs, or indirect ref to
+    an array) into one concatenated stream.  Unresolvable contents raise
+    — a page must never silently vanish from the output."""
+    refs: list[int] = []
+    arr = re.search(rb"/Contents\s*\[", page_head)
+    if arr:
+        region = _balanced(page_head, arr.end() - 1, b"[", b"]")
+        refs = [int(m.group(1)) for m in _REF_LIST_RE.finditer(region)]
+    else:
+        direct = _ref(page_head, b"Contents")
+        if direct is None:
+            raise ValueError(f"page object {num} without /Contents")
+        body = objects.get(direct)
+        if body is None:
+            raise ValueError(f"page {num}: unresolvable /Contents {direct}")
+        payload = _stream_payload(body)
+        if payload is not None:
+            return payload
+        # indirect ref to an array object
+        refs = [int(m.group(1)) for m in _REF_LIST_RE.finditer(_head(body))]
+        if not refs:
+            raise ValueError(f"page {num}: /Contents {direct} is neither "
+                             "a stream nor an array of refs")
+    parts: list[bytes] = []
+    for r in refs:
+        body = objects.get(r)
+        payload = _stream_payload(body) if body is not None else None
+        if payload is None:
+            raise ValueError(f"page {num}: unresolvable content stream {r}")
+        parts.append(payload)
+    return b"\n".join(parts)
+
+
+def _resources(objects: dict[int, bytes], num: int) -> bytes:
+    """/Resources of a page, inherited through /Parent when absent
+    (the spec's inheritable attribute)."""
+    hops = 0
+    cur: int | None = num
+    while cur is not None and hops < 32:
+        h = _head(objects.get(cur, b""))
+        res = _dict_value(objects, h, b"Resources")
+        if res is not None:
+            return res
+        cur = _ref(h, b"Parent")
+        hops += 1
+    return b""
+
+
+# ---------------------------------------------------------------------------
+# Fonts
+# ---------------------------------------------------------------------------
+
+class _Font:
+    """Decoding + advance-width behavior of one page font."""
+
+    __slots__ = ("type0", "widths", "default_w", "to_unicode")
+
+    def __init__(self):
+        self.type0 = False
+        self.widths: dict[int, float] | None = None  # code→width/1000
+        self.default_w = 1000.0 * CHAR_WIDTH_FRAC
+        self.to_unicode: dict[int, str] = {}
+
+    def decode(self, token: bytes) -> tuple[str, float]:
+        """One string token (``(…)`` literal or ``<…>`` hex) →
+        (text, advance in thousandths of the font size)."""
+        if token.startswith(b"<"):
+            hexstr = re.sub(rb"\s+", b"", token[1:-1])
+            if len(hexstr) % 2:
+                hexstr += b"0"  # spec: odd final digit pads with 0
+            raw = bytes.fromhex(hexstr.decode("ascii"))
+        else:
+            raw = None
+        if self.type0:
+            if raw is None:  # literal strings carry 2-byte codes too
+                raw = _decode_pdf_string_bytes(token[1:-1])
+            cids = [
+                (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw) - 1, 2)
+            ]
+            text = "".join(self.to_unicode.get(c, chr(c)) for c in cids)
+            width = sum(
+                (self.widths or {}).get(c, self.default_w) for c in cids
+            )
+            return text, width
+        if raw is not None:
+            text = raw.decode("latin-1")
+        else:
+            text = _decode_pdf_string(token[1:-1])
+        if self.widths is None:
+            return text, len(text) * 1000.0 * CHAR_WIDTH_FRAC
+        width = sum(
+            self.widths.get(ord(ch), self.default_w) if ord(ch) < 0x10000
+            else self.default_w
+            for ch in text
+        )
+        return text, width
+
+
+def _parse_w_array(src: bytes) -> dict[int, float]:
+    """CIDFont /W array → {cid: width}: ``c [w1 w2 …]`` runs and
+    ``c_first c_last w`` ranges."""
+    out: dict[int, float] = {}
+    toks = re.findall(rb"\[|\]|-?\d+(?:\.\d+)?", src)
+
+    def flush_triplets(pend: list[float]) -> None:
+        k = 0
+        while k + 3 <= len(pend):
+            first, last, w = pend[k : k + 3]
+            for c in range(int(first), int(last) + 1):
+                out[c] = w
+            k += 3
+
+    i = 0
+    pend: list[float] = []
+    while i < len(toks):
+        t = toks[i]
+        if t == b"[":
+            if not pend:
+                i += 1  # the enclosing /W array's own bracket
+                continue
+            start = int(pend[-1])
+            flush_triplets(pend[:-1])  # ranges accumulated before the run
+            pend = []
+            i += 1
+            j = 0
+            while i < len(toks) and toks[i] != b"]":
+                out[start + j] = float(toks[i])
+                j += 1
+                i += 1
+            i += 1  # skip ]
+        elif t == b"]":
+            i += 1
+        else:
+            pend.append(float(t))
+            i += 1
+    flush_triplets(pend)  # trailing c_first c_last w ranges
+    return out
+
+
+def _parse_tounicode(stream: bytes) -> dict[int, str]:
+    """ToUnicode CMap → {cid: str}: bfchar pairs and bfrange runs
+    (contiguous and array-destination forms)."""
+    out: dict[int, str] = {}
+
+    def _chars(hexs: bytes) -> str:
+        h = re.sub(rb"\s+", b"", hexs)
+        raw = bytes.fromhex(h.decode("ascii"))
+        return raw.decode("utf-16-be", "replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", stream, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                              m.group(1)):
+            out[int(pm.group(1), 16)] = _chars(pm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", stream, re.S):
+        body = m.group(1)
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])",
+            body,
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if rm.group(4) is not None:  # contiguous destination
+                base = rm.group(4)
+                base_str = _chars(base)
+                # increment applies to the LAST code unit per spec
+                prefix, last = base_str[:-1], base_str[-1] if base_str else "\x00"
+                for k in range(hi - lo + 1):
+                    out[lo + k] = prefix + chr(ord(last) + k)
+            else:  # array of destinations
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rm.group(5))
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        out[lo + k] = _chars(d)
+    return out
+
+
+def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
+    """One /Font object body → _Font (metrics + decoding)."""
+    h = _head(body)
+    f = _Font()
+    if re.search(rb"/Subtype\s*/Type0\b", h):
+        f.type0 = True
+        if not re.search(rb"/Encoding\s*/Identity-H\b", h):
+            raise ValueError("Type0 font with non-Identity-H encoding")
+        desc = _dict_value(objects, h, b"DescendantFonts")
+        if desc is None:
+            raise ValueError("Type0 font without /DescendantFonts")
+        dref = _REF_LIST_RE.search(desc)
+        dh = _head(objects.get(int(dref.group(1)), b"")) if dref else desc
+        dw = re.search(rb"/DW\s+(\d+(?:\.\d+)?)", dh)
+        f.default_w = float(dw.group(1)) if dw else 1000.0
+        w_src = _dict_value(objects, dh, b"W")
+        f.widths = _parse_w_array(_head(w_src)) if w_src is not None else {}
+        tu = _ref(h, b"ToUnicode")
+        if tu is not None and tu in objects:
+            payload = _stream_payload(objects[tu])
+            if payload:
+                f.to_unicode = _parse_tounicode(payload)
+        return f
+    # simple font: embedded /Widths beats standard-14 beats estimate
+    bm = re.search(rb"/BaseFont\s*/([A-Za-z0-9_.+-]+)", h)
+    base = bm.group(1).decode("latin-1") if bm else ""
+    std = _std_widths(base) if base else None
+    widths: dict[int, float] | None = (
+        {k: float(v) for k, v in std.items()} if std else None
+    )
+    w_src = _dict_value(objects, h, b"Widths")
+    if w_src is not None:
+        fc = re.search(rb"/FirstChar\s+(\d+)", h)
+        first = int(fc.group(1)) if fc else 0
+        vals = re.findall(rb"-?\d+(?:\.\d+)?", _head(w_src))
+        widths = dict(widths or {})
+        for i, v in enumerate(vals):
+            widths[first + i] = float(v)
+    f.widths = widths
+    if widths:
+        nonzero = [w for w in widths.values() if w > 0]
+        if nonzero:
+            f.default_w = sum(nonzero) / len(nonzero)
+    return f
+
+
+def _page_fonts(
+    objects: dict[int, bytes], resources: bytes
+) -> dict[bytes, _Font]:
+    fonts: dict[bytes, _Font] = {}
+    fdict = _dict_value(objects, resources, b"Font")
+    if fdict is None:
+        return fonts
+    for m in re.finditer(rb"/([A-Za-z0-9_.+-]+)\s+(\d+)\s+\d+\s+R",
+                         _head(fdict)):
+        num = int(m.group(2))
+        if num in objects:
+            fonts[m.group(1)] = _load_font(objects, objects[num])
+    return fonts
+
+
+# ---------------------------------------------------------------------------
+# String decoding
+# ---------------------------------------------------------------------------
+
+def _decode_pdf_string_bytes(raw: bytes) -> bytes:
+    """(…) literal → raw bytes, handling \\ escapes and octal codes."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nxt = raw[i + 1]
+            if nxt in b"nrtbf":
+                out.append({"n": 10, "r": 13, "t": 9, "b": 8, "f": 12}[chr(nxt)])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal \nnn (1-3 digits)
+                j = i + 1
+                digits = b""
+                while j < n and len(digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    digits += raw[j : j + 1]
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+            else:
+                out.append(nxt)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    return _decode_pdf_string_bytes(raw).decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# Text extraction (BT..ET state machine)
+# ---------------------------------------------------------------------------
+
 class _TextState:
-    __slots__ = ("x", "y", "size", "leading", "line_x", "line_y")
+    __slots__ = ("x", "y", "size", "leading", "line_x", "line_y",
+                 "font", "char_sp", "word_sp")
 
     def __init__(self):
         self.x = self.y = 0.0
         self.size = 12.0
         self.leading = 0.0
         self.line_x = self.line_y = 0.0
+        self.font: _Font | None = None
+        self.char_sp = 0.0
+        self.word_sp = 0.0
+
+
+_FALLBACK_FONT = _Font()
 
 
 def _blocks_from_stream(
-    content: bytes, page_no: int, page_h: float
+    content: bytes, page_no: int, page_h: float, fonts: dict[bytes, _Font]
 ) -> list[dict]:
     blocks: list[dict] = []
     for bt in _BT_RE.finditer(content):
         st = _TextState()
-        lines: list[tuple[float, float, float, str]] = []  # x, y, size, text
+        # x, y, size, text, measured width (pt)
+        lines: list[tuple[float, float, float, str, float]] = []
         cur_text: list[str] = []
+        cur_w = 0.0
 
-        def flush_line():
+        def show(token: bytes) -> None:
+            nonlocal cur_w
+            font = st.font or _FALLBACK_FONT
+            text, w1000 = font.decode(token)
+            cur_text.append(text)
+            cur_w += (
+                w1000 / 1000.0 * st.size
+                + len(text) * st.char_sp
+                + text.count(" ") * st.word_sp
+            )
+
+        def flush_line() -> None:
+            nonlocal cur_w
             if cur_text:
-                lines.append((st.line_x, st.line_y, st.size, "".join(cur_text)))
+                lines.append(
+                    (st.line_x, st.line_y, st.size, "".join(cur_text), cur_w)
+                )
                 cur_text.clear()
+            cur_w = 0.0
 
         stack: list[bytes] = []
         for tok in _TOKEN_RE.finditer(bt.group(1)):
             t = tok.group(0)
-            if t.startswith(b"(") or t.startswith(b"[") or t.startswith(b"/") \
-                    or t[:1].isdigit() or t.startswith(b"-"):
+            if (
+                t.startswith(b"(") or t.startswith(b"[") or t.startswith(b"/")
+                or t.startswith(b"<") or t[:1].isdigit() or t.startswith(b"-")
+                or t.startswith(b".")
+            ):
                 stack.append(t)
                 continue
             op = t
-            if op == b"Tf" and len(stack) >= 1:
+            if op == b"Tf" and len(stack) >= 2:
                 st.size = float(stack[-1])
+                name = stack[-2]
+                if name.startswith(b"/"):
+                    st.font = fonts.get(name[1:])
+            elif op == b"Tc" and stack:
+                st.char_sp = float(stack[-1])
+            elif op == b"Tw" and stack:
+                st.word_sp = float(stack[-1])
             elif op in (b"Td", b"TD") and len(stack) >= 2:
                 flush_line()
                 st.x += float(stack[-2])
@@ -136,7 +609,7 @@ def _blocks_from_stream(
                 if op == b"TD":
                     st.leading = -float(stack[-1])
                 st.line_x, st.line_y = st.x, st.y
-            elif op == b"TL" and len(stack) >= 1:
+            elif op == b"TL" and stack:
                 st.leading = float(stack[-1])
             elif op == b"T*":
                 flush_line()
@@ -146,24 +619,40 @@ def _blocks_from_stream(
                 flush_line()
                 st.x, st.y = float(stack[-2]), float(stack[-1])
                 st.line_x, st.line_y = st.x, st.y
-            elif op == b"Tj" and stack and stack[-1].startswith(b"("):
-                cur_text.append(_decode_pdf_string(stack[-1][1:-1]))
+            elif op == b"Tj" and stack and (
+                stack[-1].startswith(b"(") or stack[-1].startswith(b"<")
+            ):
+                show(stack[-1])
+            elif op == b"'" and stack and (
+                stack[-1].startswith(b"(") or stack[-1].startswith(b"<")
+            ):
+                flush_line()
+                st.y -= st.leading
+                st.line_x, st.line_y = st.x, st.y
+                show(stack[-1])
             elif op == b"TJ" and stack and stack[-1].startswith(b"["):
-                for s in _STRING_RE.finditer(stack[-1]):
-                    cur_text.append(_decode_pdf_string(s.group(0)[1:-1]))
+                for s in _TJ_ITEM_RE.finditer(stack[-1][1:-1]):
+                    item = s.group(0)
+                    if item.startswith(b"(") or item.startswith(b"<"):
+                        show(item)
+                    else:  # kerning adjustment, thousandths of size
+                        nonlocal_w = float(item) / 1000.0 * st.size
+                        cur_w -= nonlocal_w
             stack.clear()
         flush_line()
 
         if not lines:
             continue
-        size = max(s for _, _, s, _ in lines)
-        min_x = min(x for x, _, _, _ in lines)
-        top_y_pdf = max(y for _, y, _, _ in lines)
-        bot_y_pdf = min(y for _, y, _, _ in lines)
-        width = max(len(txt) for _, _, _, txt in lines) * size * CHAR_WIDTH_FRAC
+        size = max(s for _, _, s, _, _ in lines)
+        min_x = min(x for x, _, _, _, _ in lines)
+        top_y_pdf = max(y for _, y, _, _, _ in lines)
+        bot_y_pdf = min(y for _, y, _, _, _ in lines)
+        width = max(w for _, _, _, _, w in lines)
+        if width <= 0.0:  # degenerate: fall back to the estimate
+            width = max(len(t) for _, _, _, t, _ in lines) * size * CHAR_WIDTH_FRAC
         y0 = page_h - (top_y_pdf + size)  # top-down top edge
         y1 = page_h - bot_y_pdf + size * (LINE_LEADING_FRAC - 1.0)
-        text = " ".join(txt for _, _, _, txt in lines if txt.strip())
+        text = " ".join(t for _, _, _, t, _ in lines if t.strip())
         blocks.append({
             "page": page_no,
             "bbox": [round(min_x, 2), round(y0, 2),
@@ -175,12 +664,144 @@ def _blocks_from_stream(
     return blocks
 
 
-def pdf_to_blocks(data: bytes) -> list[dict]:
-    """PDF bytes → pdf_block dicts (the layout kernel's input contract).
+# ---------------------------------------------------------------------------
+# Image XObjects (q/Q/cm tracked CTM + Do placement)
+# ---------------------------------------------------------------------------
 
-    Raises ValueError when the file is outside the supported subset
-    (not a PDF, encrypted, no parseable text) — the ingestion bridge
-    maps that to the external pre-chunker contract, never silent loss.
+def _page_xobjects(
+    objects: dict[int, bytes], resources: bytes
+) -> dict[bytes, int]:
+    """XObject resource name → object number (images resolved later)."""
+    xdict = _dict_value(objects, resources, b"XObject")
+    if xdict is None:
+        return {}
+    return {
+        m.group(1): int(m.group(2))
+        for m in re.finditer(rb"/([A-Za-z0-9_.+-]+)\s+(\d+)\s+\d+\s+R",
+                             _head(xdict))
+    }
+
+
+def _mat_mul(m: list[float], n: list[float]) -> list[float]:
+    """PDF 6-tuple matrix product m×n (apply m first, then n)."""
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return [
+        a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+    ]
+
+
+def _image_blocks(
+    content: bytes,
+    page_no: int,
+    page_h: float,
+    xobjects: dict[bytes, int],
+    objects: dict[int, bytes],
+) -> tuple[list[dict], list[tuple[str, int]]]:
+    """(media blocks, [(media_ref, xobject num)]) for one page: track the
+    CTM through q/Q/cm and place each image ``Do`` as the transformed
+    unit square."""
+    blocks: list[dict] = []
+    used: list[tuple[str, int]] = []
+    seen_refs: set[str] = set()
+    ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    saved: list[list[float]] = []
+    stack: list[bytes] = []
+    for tok in _TOKEN_RE.finditer(content):
+        t = tok.group(0)
+        if (
+            t.startswith(b"(") or t.startswith(b"[") or t.startswith(b"/")
+            or t.startswith(b"<") or t[:1].isdigit() or t.startswith(b"-")
+            or t.startswith(b".")
+        ):
+            stack.append(t)
+            continue
+        op = t
+        if op == b"q":
+            saved.append(list(ctm))
+        elif op == b"Q":
+            if saved:
+                ctm = saved.pop()
+        elif op == b"cm" and len(stack) >= 6:
+            try:
+                mat = [float(v) for v in stack[-6:]]
+            except ValueError:
+                mat = None
+            if mat is not None:
+                ctm = _mat_mul(mat, ctm)
+        elif op == b"Do" and stack and stack[-1].startswith(b"/"):
+            name = stack[-1][1:]
+            num = xobjects.get(name)
+            if num is not None and num in objects:
+                h = _head(objects[num])
+                if re.search(rb"/Subtype\s*/Image\b", h):
+                    ext = "jpeg" if b"/DCTDecode" in h else "bin"
+                    ref = f"_page_{page_no}_{name.decode('latin-1')}.{ext}"
+                    xs, ys = [], []
+                    for u, v in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                        a, b, c, d, e, f = ctm
+                        xs.append(a * u + c * v + e)
+                        ys.append(b * u + d * v + f)
+                    blocks.append({
+                        "page": page_no,
+                        "bbox": [round(min(xs), 2),
+                                 round(page_h - max(ys), 2),
+                                 round(max(xs), 2),
+                                 round(page_h - min(ys), 2)],
+                        "font_size": 1.0,
+                        "text": "",
+                        "block_type_hint": "figure",
+                        "media_ref": ref,
+                    })
+                    if ref not in seen_refs:
+                        seen_refs.add(ref)
+                        used.append((ref, num))
+        stack.clear()
+    return blocks, used
+
+
+def _image_payload(objects: dict[int, bytes], num: int) -> bytes:
+    """Raw image bytes: DCTDecode payloads pass through as the JPEG
+    itself; FlateDecode streams decompress to raw samples; bare streams
+    pass through."""
+    body = objects[num]
+    sm = re.search(rb"stream\r?\n", body)
+    if sm is None:
+        return b""
+    head = body[: sm.start()]
+    lm = re.search(rb"/Length\s+(\d+)", head)
+    if lm:
+        data = body[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        end = body.find(b"endstream", sm.end())
+        data = body[sm.end() : end].rstrip(b"\r\n") if end >= 0 else b""
+    if b"/DCTDecode" in head:
+        return data  # the embedded JPEG, byte-for-byte
+    if b"/FlateDecode" in head:
+        try:
+            return zlib.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"broken image stream: {exc}") from exc
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+def pdf_to_blocks_and_media(
+    data: bytes,
+) -> tuple[list[dict], list[dict]]:
+    """PDF bytes → (pdf_block dicts, media payload rows).
+
+    Blocks are the layout kernel's input contract; media blocks carry
+    ``media_ref`` and payload rows are ``{"media_ref", "payload"}`` for
+    the K2 image sink.  Raises ValueError when the file is outside the
+    supported subset (not a PDF, encrypted, no parseable text) — the
+    ingestion bridge maps that to the external pre-chunker contract,
+    never silent loss.
     """
     if not bytes(data).startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
@@ -188,35 +809,38 @@ def pdf_to_blocks(data: bytes) -> list[dict]:
     if b"/Encrypt" in data:
         raise ValueError("encrypted PDF — external pre-chunker required")
 
-    # object bodies span to the NEXT object header (not to 'endobj':
-    # binary stream payloads can contain that word by chance)
-    headers = list(re.finditer(rb"(\d+)\s+\d+\s+obj\b", data))
-    objects: dict[int, bytes] = {}
-    for i, m in enumerate(headers):
-        end = headers[i + 1].start() if i + 1 < len(headers) else len(data)
-        objects[int(m.group(1))] = data[m.end() : end]
-
-    # pages in document order; /Contents N 0 R resolves into objects
-    pages: list[bytes] = []
-    page_heights: list[float] = []
-    for num, body in objects.items():
-        head = body.split(b"stream", 1)[0]
-        if b"/Type" in head and b"/Page" in head and b"/Pages" not in head:
-            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", head)
-            if not cm or int(cm.group(1)) not in objects:
-                continue
-            stream = _page_stream(objects[int(cm.group(1))])
-            if stream is None:
-                continue
-            mb = re.search(
-                rb"/MediaBox\s*\[\s*[\d.]+\s+[\d.]+\s+[\d.]+\s+([\d.]+)", head
-            )
-            pages.append(stream)
-            page_heights.append(float(mb.group(1)) if mb else 842.0)
+    objects = _parse_objects(data)
+    page_nums = _page_numbers(objects)
 
     blocks: list[dict] = []
-    for page_no, (stream, page_h) in enumerate(zip(pages, page_heights)):
-        blocks.extend(_blocks_from_stream(stream, page_no, page_h))
-    if not blocks:
+    media: list[dict] = []
+    n_text_blocks = 0
+    for page_no, num in enumerate(page_nums):
+        head = _head(objects[num])
+        content = _content_stream(objects, head, num)
+        mb = re.search(
+            rb"/MediaBox\s*\[\s*[\d.-]+\s+[\d.-]+\s+[\d.-]+\s+([\d.]+)", head
+        )
+        page_h = float(mb.group(1)) if mb else 842.0
+        resources = _resources(objects, num)
+        fonts = _page_fonts(objects, resources)
+        text_blocks = _blocks_from_stream(content, page_no, page_h, fonts)
+        n_text_blocks += len(text_blocks)
+        blocks.extend(text_blocks)
+        img_blocks, used = _image_blocks(
+            content, page_no, page_h, _page_xobjects(objects, resources),
+            objects,
+        )
+        blocks.extend(img_blocks)
+        for ref, obj_num in used:
+            media.append({"media_ref": ref,
+                          "payload": _image_payload(objects, obj_num)})
+    if n_text_blocks == 0:
         raise ValueError("no extractable text (scanned/image-only PDF?)")
-    return blocks
+    return blocks, media
+
+
+def pdf_to_blocks(data: bytes) -> list[dict]:
+    """PDF bytes → pdf_block dicts (text + media blocks); see
+    :func:`pdf_to_blocks_and_media` for the payload-carrying form."""
+    return pdf_to_blocks_and_media(data)[0]

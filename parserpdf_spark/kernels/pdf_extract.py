@@ -108,10 +108,30 @@ def order_page(blocks: list[Block]) -> list[Block]:
     max_x = max(b.x1 for b in blocks)
     content_w = max(max_x - min_x, 1.0)
 
+    def crosses_columns(b) -> bool:
+        """True when b reaches into the x-range of a block that starts in
+        a DIFFERENT column (strictly right of b's start by more than the
+        column gap).  Width alone misfires on pages whose right column is
+        nearly empty: a wide left-column paragraph can cover most of the
+        observed content width without ever crossing the gutter."""
+        for o in blocks:
+            if o is b:
+                continue
+            if (
+                o.x0 > b.x0 + K.COLUMN_GAP_PT
+                and b.x1 > o.x0 + K.COLUMN_GAP_PT
+            ):
+                return True
+        return False
+
     spanning = []
     flowing = []
     for b in blocks:
-        b.is_spanning = len(blocks) > 1 and b.width / content_w >= K.SPANNING_WIDTH_FRAC
+        b.is_spanning = (
+            len(blocks) > 1
+            and b.width / content_w >= K.SPANNING_WIDTH_FRAC
+            and crosses_columns(b)
+        )
         (spanning if b.is_spanning else flowing).append(b)
     spanning.sort(key=lambda b: (b.y0, b.x0))
 

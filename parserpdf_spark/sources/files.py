@@ -13,17 +13,28 @@ Routing (keep-with-status, mirroring the reference's extension gate at
 ``pdf_to_md.py:214-224`` — no silent drops):
 
 - ``.html``/``.htm``  → decode bytes → one ``kind="html"`` span
-- ``.docx``/``.doc``  → stdlib OOXML shim (kernels/docx_extract.py) →
-  one ``kind="html"`` span; unparseable files (corrupt zip, legacy OLE2
-  ``.doc``) become ``ingest_status="error"`` rows
+- ``.docx``           → stdlib OOXML shim (kernels/docx_extract.py) →
+  one ``kind="html"`` span; unparseable files (corrupt zip) become
+  ``ingest_status="error"`` rows
+- ``.doc``            → legacy Word binaries (OLE2 magic) parse via the
+  from-scratch CFB + piece-table kernel (kernels/doc_extract.py, text
+  only); outside-subset files become ``ingest_status="error"`` rows
 - ``.pdf``            → text-bearing PDFs parse from scratch
-  (kernels/pdf_binary.py: object/stream framing, FlateDecode, text
-  operators) into ``pdf_block`` spans that feed the existing layout
-  kernel.  PDFs outside the built-in subset (encrypted, scanned/
-  image-only, exotic encodings) keep the external pre-chunker contract:
-  ``ingest_status="needs_prechunk"``, spans to be supplied as JSON
-  ``{page,bbox,font_size,text}`` blocks by the pre-chunker.
+  (kernels/pdf_binary.py: object/stream framing, FlateDecode, width
+  tables, Type0/Identity-H, text operators, image XObjects) into
+  ``pdf_block`` spans — embedded images become media-carrying blocks —
+  that feed the existing layout kernel.  PDFs outside the built-in
+  subset (encrypted, scanned/image-only, exotic encodings) keep the
+  external pre-chunker contract: ``ingest_status="needs_prechunk"``,
+  spans to be supplied as JSON ``{page,bbox,font_size,text}`` blocks by
+  the pre-chunker.
+- ``.md``/``.markdown`` → one ``kind="markdown"`` passthrough span (the
+  reference collects markdown as-is, ``utils/file_utils.py:465-471``)
 - anything else       → ``ingest_status="skipped"``
+
+Embedded image PAYLOADS (PDF XObjects, docx media parts) ride a second
+narrow bridge, :func:`files_to_media` → (doc_id, media_ref, payload),
+feeding the K2 image sink (operators/sinks.export_image_payloads).
 
 Scale shape: one ``mapInPandas`` over Arrow batches of (path, content) —
 narrow, zero shuffle, same plan position as the extraction kernel; the
@@ -74,8 +85,15 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
             row["ingest_status"] = "error"
             row["ingest_error"] = f"UnicodeDecodeError: {exc}"
     elif suffix in (".docx", ".doc"):
+        from parserpdf_spark.kernels.doc_extract import CFB_MAGIC, doc_to_html
+
+        is_ole2 = bytes(content[:8]) == CFB_MAGIC
         try:
-            row["spans"] = _html_span(docx_to_html(bytes(content)))
+            if suffix == ".doc" and is_ole2:
+                # legacy Word binary: from-scratch CFB + piece-table read
+                row["spans"] = _html_span(doc_to_html(bytes(content)))
+            else:
+                row["spans"] = _html_span(docx_to_html(bytes(content)))
         except ValueError as exc:
             row["ingest_status"] = "error"
             row["ingest_error"] = str(exc)
@@ -91,7 +109,7 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
             blocks = pdf_to_blocks(bytes(content))
             row["spans"] = [
                 {"kind": "pdf_block", "text": json.dumps(b),
-                 "media_ref": None, "offset": i}
+                 "media_ref": b.get("media_ref"), "offset": i}
                 for i, b in enumerate(blocks)
             ]
         except ValueError as exc:
@@ -100,6 +118,15 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
                 f"outside the built-in pdf subset ({exc}); feed the "
                 "external pre-chunker's pdf_block spans instead"
             )
+    elif suffix in (".md", ".markdown"):
+        try:
+            row["spans"] = [{
+                "kind": "markdown", "text": bytes(content).decode("utf-8"),
+                "media_ref": None, "offset": 0,
+            }]
+        except UnicodeDecodeError as exc:
+            row["ingest_status"] = "error"
+            row["ingest_error"] = f"UnicodeDecodeError: {exc}"
     else:
         row["ingest_status"] = "skipped"
         row["ingest_error"] = f"unsupported extension {suffix!r}"
@@ -137,3 +164,72 @@ def ingested_docs(files_docs: DataFrame) -> DataFrame:
     return files_docs.filter(
         files_docs["ingest_status"] == "ok"
     ).select("doc_id", "spans")
+
+
+FILES_MEDIA_DDL = "doc_id string, media_ref string, payload binary"
+
+
+def file_media_rows(path: str, content: bytes) -> list[dict[str, Any]]:
+    """Embedded image payloads of one file (pure python; best-effort —
+    a file whose parse fails contributes no payload rows here, its
+    error surfaces through the main :func:`route_file` bridge).
+
+    - ``.pdf``: image XObject payloads (DCTDecode JPEGs byte-for-byte)
+    - ``.docx``: ``word/media/*`` zip parts, refs relative to ``word/``
+      (matching the ``<img src="media/…">`` refs the shim kernel emits)
+    """
+    name = path.rsplit("/", 1)[-1]
+    stem, dot, ext = name.rpartition(".")
+    suffix = f".{ext.lower()}" if dot else ""
+    doc_id = stem if dot else name
+    rows: list[dict[str, Any]] = []
+    if suffix == ".pdf":
+        from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
+
+        try:
+            _, media = pdf_to_blocks_and_media(bytes(content))
+        except ValueError:
+            return []
+        rows = [
+            {"doc_id": doc_id, "media_ref": m["media_ref"],
+             "payload": m["payload"]}
+            for m in media
+        ]
+    elif suffix in (".docx", ".doc"):
+        import io
+        import zipfile
+        import zlib
+
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(bytes(content)))
+            for info in zf.infolist():
+                if info.filename.startswith("word/media/"):
+                    rows.append({
+                        "doc_id": doc_id,
+                        "media_ref": info.filename[len("word/"):],
+                        "payload": zf.read(info),
+                    })
+        except (zipfile.BadZipFile, KeyError, OSError, zlib.error):
+            return []
+    return rows
+
+
+def files_to_media(files: DataFrame) -> DataFrame:
+    """binaryFile scan → (doc_id, media_ref, payload) rows for the K2
+    image sink: the embedded-image payloads whose refs the extraction
+    output's ``image`` spans carry.  Same narrow mapInPandas shape as
+    :func:`files_to_docs` — zero shuffle, file-per-task."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                rows.extend(file_media_rows(p, c))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "payload"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=FILES_MEDIA_DDL
+    )

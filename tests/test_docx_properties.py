@@ -92,6 +92,37 @@ def test_pdf_parser_never_crashes_uncontrolled(junk):
     assert row["ingest_status"] in ("ok", "needs_prechunk")
 
 
+@settings(max_examples=30, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=600))
+def test_doc_cfb_parser_never_crashes_uncontrolled(junk):
+    """Arbitrary bytes (with and without the OLE2 magic) through the
+    legacy-.doc kernel → ValueError only; the route yields status rows."""
+    from parserpdf_spark.kernels.doc_extract import CFB_MAGIC, doc_to_html
+    from parserpdf_spark.sources.files import route_file
+
+    for data in (junk, CFB_MAGIC + junk):
+        try:
+            doc_to_html(data)
+        except ValueError:
+            pass
+        row = route_file("/x/fuzz.doc", data)
+        assert row["ingest_status"] in ("ok", "error")
+
+
+@settings(max_examples=40, deadline=None)
+@given(text=st.text(max_size=400))
+def test_markdown_splitter_never_raises(text):
+    """The .md passthrough splitter accepts ANY unicode text and yields
+    only known span kinds with non-null text."""
+    from parserpdf_spark.kernels.md_extract import markdown_to_spans
+
+    spans = markdown_to_spans(text)
+    kinds = {"heading", "para", "list", "table", "code", "image", "caption"}
+    for s in spans:
+        assert s["kind"] in kinds
+        assert s["text"] is not None
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     prefix=st.binary(min_size=0, max_size=50),

@@ -97,11 +97,11 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 30, "error": 1, "needs_prechunk": 1, "skipped": 2}
+    assert statuses == {"ok": 33, "error": 1, "needs_prechunk": 1, "skipped": 2}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 30
+    assert metrics.count() == 33
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -166,9 +166,9 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 30, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 33, "error": 1, "needs_prechunk": 1, "skipped": 2,
     }
-    assert report["docs_by_status"] == {"ok": 30}
+    assert report["docs_by_status"] == {"ok": 33}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 
@@ -239,3 +239,240 @@ def test_pdf_string_escapes():
 
     assert _decode_pdf_string(rb"a\(b\)c \\ d") == "a(b)c \\ d"
     assert _decode_pdf_string(rb"x\ny\t\101") == "x\ny\tA"
+
+
+def test_pdf_type0_identity_h_roundtrip():
+    """The Type0 fixture (hex-string CIDs, /W widths, ToUnicode CMap)
+    extracts the same heading + 2-column paragraph sequence as the
+    simple-font builds of the same source text."""
+    import json
+
+    import pandas as pd
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    text = dict(zip(src["doc_id"].astype(int), src["text"]))[34]
+    blocks = pdf_to_blocks(_fixture_bytes("doc_34.pdf"))
+    spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
+    words = [w for w in text.split(" ") if w]
+    assert spans[0]["text"] == "# " + " ".join(words[:3])
+    chunks = [" ".join(words[3:][i:i + 12])
+              for i in range(0, len(words) - 3, 12)]
+    assert [s["text"] for s in spans if s["kind"] == "para"] == chunks
+
+
+def test_pdf_embedded_image_spans_and_payload():
+    """The image-bearing fixture yields a media block placed between
+    title and body (→ an image span right after the heading, matching
+    the reference's interleaved-image golden shape) and its JPEG payload
+    byte-for-byte."""
+    import sys
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
+    from parserpdf_spark.sources.files import file_media_rows, route_file
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import FAKE_JPEG
+
+    data = _fixture_bytes("doc_31.pdf")
+    blocks, media = pdf_to_blocks_and_media(data)
+    img = [b for b in blocks if b.get("media_ref")]
+    assert len(img) == 1 and img[0]["media_ref"] == "_page_0_Im1.jpeg"
+    assert media == [{"media_ref": "_page_0_Im1.jpeg", "payload": FAKE_JPEG}]
+
+    # routed spans carry the ref in the span's media_ref column
+    routed = route_file("/x/doc_31.pdf", data)
+    refs = [s["media_ref"] for s in routed["spans"] if s["media_ref"]]
+    assert refs == ["_page_0_Im1.jpeg"]
+
+    rows = file_media_rows("/x/doc_31.pdf", data)
+    assert rows == [{"doc_id": "doc_31", "media_ref": "_page_0_Im1.jpeg",
+                     "payload": FAKE_JPEG}]
+    # docx embedded media surfaces too (word/media/figure1.png)
+    drows = file_media_rows("/x/doc_1.docx", _fixture_bytes("doc_1.docx"))
+    assert [r["media_ref"] for r in drows] == ["media/figure1.png"]
+
+
+def test_image_payloads_land_on_disk_via_k2_sink(spark, tmp_path):
+    """files_to_media → export_image_payloads: the embedded JPEG bytes
+    of a real PDF (and a docx media part) land at {out}/{doc_id}/{ref}."""
+    import sys
+
+    from parserpdf_spark.operators.sinks import export_image_payloads
+    from parserpdf_spark.sources.files import files_to_media
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import FAKE_JPEG
+
+    files = scan_files(spark, FIXTURES, "doc_31.pdf", with_content=True)
+    media = files_to_media(files)
+    out = str(tmp_path / "img")
+    n = export_image_payloads(media, out)
+    assert n == 1
+    with open(os.path.join(out, "doc_31", "_page_0_Im1.jpeg"), "rb") as fh:
+        assert fh.read() == FAKE_JPEG
+
+
+def test_image_pdf_extracts_interleaved_image_span(spark):
+    """End-to-end through the Spark bridge: the image-bearing PDF's
+    extraction output interleaves kind='image' at the golden position."""
+    files = scan_files(spark, FIXTURES, "doc_31.pdf", with_content=True)
+    extracted, metrics = extract_docs(ingested_docs(files_to_docs(files)))
+    rows = sorted(
+        ((r["offset"], r["kind"], r["media_ref"]) for r in extracted.collect())
+    )
+    assert rows[0][1] == "heading"
+    assert rows[1][1:] == ("image", "_page_0_Im1.jpeg")
+    assert metrics.filter(F.col("n_images") != 1).count() == 0
+
+
+def test_legacy_doc_roundtrip_and_route():
+    """Legacy Word binary (.doc): the CFB + piece-table kernel recovers
+    the exact paragraph text; route_file sends OLE2 bytes through it
+    while corrupt .doc stays on the error-row contract."""
+    import pandas as pd
+
+    from parserpdf_spark.kernels.doc_extract import doc_to_html, doc_to_text
+
+    data = _fixture_bytes("doc_37.doc")
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    text = dict(zip(src["doc_id"].astype(int), src["text"]))[37]
+    words = [w for w in text.split(" ") if w]
+    paras = [" ".join(words[:3])] + [
+        " ".join(words[3:][i:i + 12]) for i in range(0, len(words) - 3, 12)
+    ]
+    assert [p for p in doc_to_text(data).split("\r") if p.strip()] == paras
+    assert doc_to_html(data).startswith("<body><article><p>")
+
+    routed = route_file("/x/doc_37.doc", data)
+    assert routed["ingest_status"] == "ok"
+    assert routed["spans"][0]["kind"] == "html"
+    # non-OLE2 .doc bytes still produce an error row, never a crash
+    assert route_file("/x/junk.doc", b"garbage")["ingest_status"] == "error"
+    # corrupt OLE2 (magic only) → error row too
+    assert route_file(
+        "/x/trunc.doc", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 100
+    )["ingest_status"] == "error"
+
+
+def test_markdown_ingestion_route():
+    """.md files pass through the markdown splitter: every block kind in
+    the rich fixture surfaces with its span kind."""
+    routed = route_file(
+        os.path.join(FIXTURES, "doc_60.md"), _fixture_bytes("doc_60.md")
+    )
+    assert routed["ingest_status"] == "ok"
+    assert routed["spans"][0]["kind"] == "markdown"
+    from parserpdf_spark.kernels.extract import extract_document_safe
+
+    out, metrics = extract_document_safe(routed["spans"])
+    assert metrics["status"] == "ok"
+    kinds = [s["kind"] for s in out]
+    assert kinds == ["heading", "para", "list", "table", "code", "image",
+                     "caption", "para"]
+    assert out[5]["media_ref"] == "media/fig_1.png"
+
+
+def test_pdf_contents_array_and_kids_order():
+    """ADVICE items: array-form /Contents concatenates (never silently
+    skips a page), page order follows the /Kids tree (not object
+    appearance), and an unresolvable /Contents raises."""
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    def obj(num, body):
+        return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    stream = b"BT /F1 12 Tf 50 700 Td (PAGE-%d) Tj ET"
+
+    def content_obj(num, page):
+        c = stream.replace(b"%d", str(page).encode())
+        return obj(num, b"<< /Length " + str(len(c)).encode()
+                   + b" >>\nstream\n" + c + b"\nendstream")
+
+    # page B appears FIRST in the file but is SECOND in /Kids
+    pdf = (
+        b"%PDF-1.4\n"
+        + obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + obj(2, b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>")
+        + obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 842] "
+                 b"/Contents [6 0 R 7 0 R] >>")  # array form
+        + content_obj(6, 2)
+        + content_obj(7, 3)
+        + obj(5, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 842] "
+                 b"/Contents 8 0 R >>")
+        + content_obj(8, 1)
+    )
+    blocks = pdf_to_blocks(pdf)
+    assert [(b["page"], b["text"]) for b in blocks] == [
+        (0, "PAGE-1"), (1, "PAGE-2"), (1, "PAGE-3"),
+    ]
+
+    # unresolvable /Contents → ValueError, never a silently missing page
+    broken = (
+        b"%PDF-1.4\n"
+        + obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 99 0 R >>")
+    )
+    with pytest.raises(ValueError, match="unresolvable"):
+        pdf_to_blocks(broken)
+
+
+def test_pdf_w_array_and_tounicode_parsers():
+    from parserpdf_spark.kernels.pdf_binary import (
+        _parse_tounicode,
+        _parse_w_array,
+    )
+
+    assert _parse_w_array(b"[1 [500 600] 7 12 400]") == {
+        1: 500.0, 2: 600.0, **{c: 400.0 for c in range(7, 13)},
+    }
+    # triplet BEFORE a bracket run must not be dropped
+    assert _parse_w_array(b"[7 8 450 1 [500]]") == {7: 450.0, 8: 450.0, 1: 500.0}
+    tm = _parse_tounicode(
+        b"beginbfchar\n<0041> <0042>\nendbfchar\n"
+        b"beginbfrange\n<0050> <0052> <0061>\nendbfrange"
+    )
+    assert tm == {0x41: "B", 0x50: "a", 0x51: "b", 0x52: "c"}
+
+
+def test_pdf_binary_corpus_roundtrip_500():
+    """EVERY sf0.001 doc round-trips exactly through a built PDF — the
+    width tables closed the former 11/500 estimated-width residue.
+    Variants cycle raw/Flate/Type0 so all decode paths get corpus-wide
+    coverage."""
+    import json
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import build_pdf
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
+    bad = []
+    for nid, text in by_id.items():
+        kw = [
+            {"compress": False},
+            {"compress": True},
+            {"compress": True, "font_mode": "type0"},
+        ][nid % 3]
+        blocks = pdf_to_blocks(build_pdf(nid, text, **kw))
+        spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
+        words = [w for w in text.split(" ") if w]
+        chunks = [" ".join(words[3:][i:i + 12])
+                  for i in range(0, len(words) - 3, 12)]
+        ok = (
+            spans
+            and spans[0]["text"] == "# " + " ".join(words[:3])
+            and [s["text"] for s in spans if s["kind"] == "para"] == chunks
+        )
+        if not ok:
+            bad.append(nid)
+    assert bad == []

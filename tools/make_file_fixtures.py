@@ -112,7 +112,17 @@ def build_docx(nid: int, text: str) -> bytes:
     import io
 
     buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+
+    class _DetZip(zipfile.ZipFile):
+        """writestr with a pinned date_time so fixture bytes are
+        deterministic run-to-run (zipfile embeds wall-clock otherwise)."""
+
+        def writestr(self, name, data, *a, **kw):  # noqa: D102
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            super().writestr(info, data, *a, **kw)
+
+    with _DetZip(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(
             "[Content_Types].xml",
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -149,6 +159,153 @@ def build_docx(nid: int, text: str) -> bytes:
     return buf.getvalue()
 
 
+def _cfb_container(streams: dict[str, bytes]) -> bytes:
+    """A minimal valid CFB/OLE2 compound file (512-byte sectors, 64-byte
+    mini sectors, 4096 cutoff): streams smaller than the cutoff live in
+    the root's mini-stream so the reader's miniFAT path gets exercised
+    by the committed fixture."""
+    import struct
+
+    SSZ, MSSZ, CUTOFF = 512, 64, 4096
+    FREE, END = 0xFFFFFFFF, 0xFFFFFFFE
+
+    def pad(b: bytes, unit: int) -> bytes:
+        return b + b"\x00" * (-len(b) % unit)
+
+    # mini-stream assembly + miniFAT
+    mini_data = b""
+    minifat: list[int] = []
+    mini_start: dict[str, int] = {}
+    regular: dict[str, bytes] = {}
+    for name, data in streams.items():
+        if len(data) < CUTOFF:
+            first = len(minifat)
+            mini_start[name] = first
+            n = max(1, -(-len(data) // MSSZ))
+            minifat.extend(list(range(first + 1, first + n)) + [END])
+            mini_data += pad(data, MSSZ)
+        else:
+            regular[name] = pad(data, SSZ)
+
+    n_entries = 1 + len(streams)
+    dir_sectors = -(-(n_entries * 128) // SSZ)
+    minifat_sectors = -(-(len(minifat) * 4) // SSZ) if minifat else 0
+    mini_sectors = len(mini_data) // SSZ if mini_data else 0
+    mini_data = pad(mini_data, SSZ)
+    mini_sectors = len(mini_data) // SSZ
+
+    # sector layout: 0 = FAT, then DIR, MINIFAT, MINI container, regular
+    s_dir = 1
+    s_minifat = s_dir + dir_sectors
+    s_mini = s_minifat + minifat_sectors
+    s_reg = s_mini + mini_sectors
+    reg_start: dict[str, int] = {}
+    cur = s_reg
+    for name, data in regular.items():
+        reg_start[name] = cur
+        cur += len(data) // SSZ
+    total_sectors = cur
+    assert total_sectors <= SSZ // 4, "fixture too large for one FAT sector"
+
+    fat = [FREE] * (SSZ // 4)
+    fat[0] = 0xFFFFFFFD  # FATSECT marker
+
+    def chain(start: int, n: int) -> None:
+        for i in range(n):
+            fat[start + i] = start + i + 1 if i + 1 < n else END
+
+    chain(s_dir, dir_sectors)
+    if minifat_sectors:
+        chain(s_minifat, minifat_sectors)
+    if mini_sectors:
+        chain(s_mini, mini_sectors)
+    for name, data in regular.items():
+        chain(reg_start[name], len(data) // SSZ)
+
+    def dir_entry(name: str, otype: int, start: int, size: int,
+                  child: int = FREE) -> bytes:
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[: len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw))
+        e[66] = otype
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, FREE, FREE, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    entries = [dir_entry("Root Entry", 5, s_mini if mini_data else END,
+                         len(mini_data), child=1)]
+    for name, data in streams.items():
+        start = mini_start.get(name, reg_start.get(name, END))
+        entries.append(dir_entry(name, 2, start, len(data)))
+    dir_data = pad(b"".join(entries), SSZ)
+
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 0x18, 0x003E)  # minor
+    struct.pack_into("<H", header, 0x1A, 0x0003)  # major (512-byte)
+    struct.pack_into("<H", header, 0x1C, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 0x1E, 9)       # sector shift
+    struct.pack_into("<H", header, 0x20, 6)       # mini shift
+    struct.pack_into("<I", header, 0x2C, 1)       # n FAT sectors
+    struct.pack_into("<I", header, 0x30, s_dir)
+    struct.pack_into("<I", header, 0x38, CUTOFF)
+    struct.pack_into("<I", header, 0x3C,
+                     s_minifat if minifat_sectors else END)
+    struct.pack_into("<I", header, 0x40, minifat_sectors)
+    struct.pack_into("<I", header, 0x44, END)     # no DIFAT chain
+    struct.pack_into("<I", header, 0x48, 0)
+    difat = [0] + [FREE] * 108
+    struct.pack_into("<109I", header, 0x4C, *difat)
+
+    fat_data = struct.pack(f"<{SSZ // 4}I", *fat)
+    minifat_data = pad(
+        struct.pack(f"<{len(minifat)}I", *minifat), SSZ
+    ) if minifat else b""
+    body = bytes(header) + fat_data + dir_data + minifat_data + mini_data
+    for name, data in regular.items():
+        body += data
+    return body
+
+
+def build_doc(nid: int, text: str) -> bytes:
+    """A real Word-97 binary ``.doc``: CFB container with a WordDocument
+    stream (FIB + cp1252 text) and a 1Table stream (CLX piece table) —
+    the same heading + paragraph text decomposition as the sibling
+    formats, one piece, compressed encoding."""
+    import struct
+
+    words = _words(text)
+    paras = [" ".join(words[:HEAD_WORDS])] + [
+        " ".join(c) for c in _chunks(words[HEAD_WORDS:], PARA_WORDS)
+    ]
+    doc_text = "\r".join(paras) + "\r"
+    raw = doc_text.encode("cp1252")
+
+    TEXT_AT = 0x600
+    fib = bytearray(TEXT_AT)
+    struct.pack_into("<H", fib, 0x00, 0xA5EC)   # wIdent
+    struct.pack_into("<H", fib, 0x02, 0x00C1)   # nFib (Word 97)
+    struct.pack_into("<H", fib, 0x06, 0x0409)   # lid
+    struct.pack_into("<H", fib, 0x0A, 0x0200)   # flags: fWhichTblStm=1
+    struct.pack_into("<H", fib, 0x20, 0x000E)   # csw
+    struct.pack_into("<H", fib, 0x3E, 0x0016)   # cslw
+    struct.pack_into("<I", fib, 0x40, TEXT_AT + len(raw))  # cbMac
+    struct.pack_into("<I", fib, 0x4C, len(doc_text))       # ccpText
+    struct.pack_into("<H", fib, 0x98, 0x005D)   # cbRgFcLcb (93 pairs)
+    # CLX sits at offset 0 of 1Table
+    plc = struct.pack("<II", 0, len(doc_text)) + struct.pack(
+        "<HIH", 0, (TEXT_AT * 2) | 0x40000000, 0
+    )
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<I", fib, 0x01A2, 0)          # fcClx
+    struct.pack_into("<I", fib, 0x01A6, len(clx))   # lcbClx
+    word_stream = bytes(fib) + raw
+    return _cfb_container({"WordDocument": word_stream, "1Table": clx})
+
+
 PAGE_W, PAGE_H = 612, 842
 PDF_LEFT_X, PDF_RIGHT_X = 50, 310
 PDF_TOP_Y = 120
@@ -162,14 +319,20 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _pdf_text_block(x: float, y_top: float, size: int, lines: list[str]) -> str:
-    """One BT..ET block: absolute Td to the first baseline, T* steps."""
+def _pdf_text_block(
+    x: float, y_top: float, size: int, lines: list[str], hex_mode: bool = False
+) -> str:
+    """One BT..ET block: absolute Td to the first baseline, T* steps.
+    ``hex_mode`` shows text as 2-byte-CID hex strings (Type0/Identity-H)."""
     y_baseline = PAGE_H - y_top - size
     ops = [f"BT /F1 {size} Tf {PDF_LEADING} TL {x} {y_baseline} Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append("T*")
-        ops.append(f"({_pdf_escape(line)}) Tj")
+        if hex_mode:
+            ops.append("<" + "".join(f"{ord(c):04X}" for c in line) + "> Tj")
+        else:
+            ops.append(f"({_pdf_escape(line)}) Tj")
     ops.append("ET")
     return " ".join(ops)
 
@@ -181,15 +344,40 @@ def _wrap_words(words: list[str], per_line: int = 6) -> list[str]:
     return [" ".join(words[i:i + per_line]) for i in range(0, len(words), per_line)]
 
 
-def build_pdf(nid: int, text: str, compress: bool) -> bytes:
+FAKE_JPEG = (
+    b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01"
+    + bytes(range(48)) * 4
+    + b"\xff\xd9"
+)
+
+
+def build_pdf(
+    nid: int,
+    text: str,
+    compress: bool,
+    font_mode: str = "type1",
+    with_image: bool = False,
+) -> bytes:
     """A real (minimal, valid-xref) PDF: full-width title + two-column
-    body in the synth geometry; Flate-compressed streams on request."""
+    body in the synth geometry; Flate-compressed streams on request.
+
+    ``font_mode="type0"`` uses a composite Identity-H font (hex-string
+    CIDs, /W width array, ToUnicode CMap); ``with_image`` embeds a
+    DCTDecode image XObject placed full-width between title and body.
+    """
     import zlib
 
+    hex_mode = font_mode == "type0"
     words = _words(text)
     pages_ops: dict[int, list[str]] = {}
     title = " ".join(words[:HEAD_WORDS])
-    pages_ops[0] = [_pdf_text_block(PDF_LEFT_X, 40, PDF_TITLE_SIZE, [title])]
+    pages_ops[0] = [
+        _pdf_text_block(PDF_LEFT_X, 40, PDF_TITLE_SIZE, [title], hex_mode)
+    ]
+    if with_image:
+        # unit square scaled 512x37 at (50, 730): top-down y 75..112,
+        # between the title (~40-62) and the body rows (120+)
+        pages_ops[0].append("q 512 0 0 37 50 730 cm /Im1 Do Q")
     for i, chunk in enumerate(_chunks(words[HEAD_WORDS:], PARA_WORDS)):
         page = i // (2 * PDF_ROWS_PER_COL)
         slot = i % (2 * PDF_ROWS_PER_COL)
@@ -197,29 +385,65 @@ def build_pdf(nid: int, text: str, compress: bool) -> bytes:
         row = slot % PDF_ROWS_PER_COL
         y_top = PDF_TOP_Y + row * PDF_ROW_PITCH
         pages_ops.setdefault(page, []).append(
-            _pdf_text_block(x, y_top, PDF_BODY_SIZE, _wrap_words(chunk))
+            _pdf_text_block(x, y_top, PDF_BODY_SIZE, _wrap_words(chunk),
+                            hex_mode)
         )
 
     n_pages = len(pages_ops)
     # object numbering: 1 catalog, 2 pages-root, 3 font,
-    # then per page: 4+2k page, 5+2k contents
+    # then per page: 4+2k page, 5+2k contents; 100+ for font/image parts
     objs: dict[int, bytes] = {}
     kids = " ".join(f"{4 + 2 * k} 0 R" for k in range(n_pages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
-    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if hex_mode:
+        from parserpdf_spark.kernels.pdf_binary import _HELVETICA
+
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
+            b"/Encoding /Identity-H /DescendantFonts [100 0 R] "
+            b"/ToUnicode 101 0 R >>"
+        )
+        w_list = " ".join(str(w) for w in _HELVETICA)
+        objs[100] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
+            + f"/DW 500 /W [32 [{w_list}]] >>".encode()
+        )
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nend\n"
+        )
+        objs[101] = (
+            f"<< /Length {len(cmap)} >>".encode()
+            + b"\nstream\n" + cmap + b"\nendstream"
+        )
+    else:
+        objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if with_image:
+        objs[102] = (
+            b"<< /Type /XObject /Subtype /Image /Width 64 /Height 48 "
+            b"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+            b"/Filter /DCTDecode "
+            + f"/Length {len(FAKE_JPEG)} >>".encode()
+            + b"\nstream\n" + FAKE_JPEG + b"\nendstream"
+        )
     for k in range(n_pages):
         content = "\n".join(pages_ops[k]).encode("latin-1")
         filt = b""
         if compress:
             content = zlib.compress(content)
             filt = b"/Filter /FlateDecode "
+        xobj = (
+            b"/XObject << /Im1 102 0 R >> " if with_image and k == 0 else b""
+        )
         objs[4 + 2 * k] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
-            f"/Contents {5 + 2 * k} 0 R >>".encode()
+            f"/Resources << /Font << /F1 3 0 R >> ".encode()
+            + xobj + b">> "
+            + f"/Contents {5 + 2 * k} 0 R >>".encode()
         )
         objs[5 + 2 * k] = (
             b"<< " + filt + f"/Length {len(content)} >>".encode()
@@ -236,7 +460,10 @@ def build_pdf(nid: int, text: str, compress: bool) -> bytes:
     out += f"xref\n0 {n_obj}\n".encode()
     out += b"0000000000 65535 f \n"
     for num in range(1, n_obj):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
+        if num in offsets:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        else:  # gap in numbering (fixed 100+ ids): free entry
+            out += b"0000000000 65535 f \n"
     out += (
         f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
@@ -269,11 +496,46 @@ def build_corpus() -> None:
         with open(os.path.join(FIXTURES, f"doc_{i}.docx"), "wb") as fh:
             fh.write(build_docx(i, by_id[i]))
 
-    # real text-bearing PDFs through the binary kernel (2 raw, 2 Flate)
+    # real text-bearing PDFs through the binary kernel: raw, Flate,
+    # Flate + embedded DCTDecode image XObject, Type0/Identity-H
     pdf_ids = docx_ids[8:12]
-    for j, i in enumerate(pdf_ids):
+    variants = [
+        {"compress": False},
+        {"compress": True},
+        {"compress": True, "with_image": True},
+        {"compress": True, "font_mode": "type0"},
+    ]
+    for i, kw in zip(pdf_ids, variants):
         with open(os.path.join(FIXTURES, f"doc_{i}.pdf"), "wb") as fh:
-            fh.write(build_pdf(i, by_id[i], compress=j % 2 == 1))
+            fh.write(build_pdf(i, by_id[i], **kw))
+
+    # legacy Word binary through the CFB + piece-table kernel
+    doc_id_legacy = docx_ids[12]
+    with open(os.path.join(FIXTURES, f"doc_{doc_id_legacy}.doc"), "wb") as fh:
+        fh.write(build_doc(doc_id_legacy, by_id[doc_id_legacy]))
+
+    # markdown passthrough fixtures: one plain, one exercising every
+    # block kind the splitter handles
+    md_ids = [i for i in html_ids[18:] if len(_words(by_id[i])) >= 40][:2]
+    words0 = _words(by_id[md_ids[0]])
+    plain_md = "# " + " ".join(words0[:HEAD_WORDS]) + "\n\n" + "\n\n".join(
+        " ".join(c) for c in _chunks(words0[HEAD_WORDS:], PARA_WORDS)
+    )
+    with open(os.path.join(FIXTURES, f"doc_{md_ids[0]}.md"), "w") as fh:
+        fh.write(plain_md + "\n")
+    w1 = _words(by_id[md_ids[1]])
+    rich_md = "\n\n".join([
+        "# " + " ".join(w1[:3]),
+        " ".join(w1[3:15]),
+        "- " + "\n- ".join(w1[15:18]),
+        "| a | b |\n|---|---|\n| " + w1[18] + " | " + w1[19] + " |",
+        "```\ncode = 1\n```",
+        "![](media/fig_1.png)",
+        "**Fig. 1 " + " ".join(w1[20:22]) + ".**",
+        " ".join(w1[22:30]),
+    ])
+    with open(os.path.join(FIXTURES, f"doc_{md_ids[1]}.md"), "w") as fh:
+        fh.write(rich_md + "\n")
 
     # edge cases: corrupt docx, pdf needing the pre-chunker, skipped kinds
     with open(os.path.join(FIXTURES, "broken_99.docx"), "wb") as fh:
@@ -354,7 +616,7 @@ def build_warc_corpus() -> None:
     w2 = [rec("response", uri_of(i), _http_response(html_of(i), "application/xhtml+xml"))
           for i in ids[12:16]]
     with open(os.path.join(WARC_FIXTURES, "crawl_2.warc.gz"), "wb") as fh:
-        fh.write(gzip.compress(b"".join(w2)))
+        fh.write(gzip.compress(b"".join(w2), mtime=0))  # deterministic bytes
 
 
 def build_warc_goldens() -> None:
