@@ -31,11 +31,15 @@ Supported (all from scratch):
   placed via the graphics-state CTM (q/Q/cm tracked) and emitted as
   media blocks (``media_ref`` set), with their raw payload bytes
   (DCTDecode JPEGs pass through unchanged) surfaced for the image sink
+- PDF 1.5+ object streams (/Type /ObjStm): member dicts (catalog,
+  pages, fonts) expand into the object table; xref streams are never
+  needed (the parser scans object frames directly, so compressed xref
+  tables are transparently irrelevant)
 
-Scope (honest): non-encrypted PDFs; no xref/object streams
-(PDF 1.5 compressed xref), no inline images (BI…EI), no Form XObject
-recursion, no CID encodings beyond Identity-H.  Anything outside the
-subset raises ValueError and the ingestion bridge keeps the
+Scope (honest): non-encrypted PDFs; no inline images (BI…EI), no Form
+XObject recursion, no CID encodings beyond Identity-H, no
+LZW/DCT-decode of non-image streams.  Anything outside the subset
+raises ValueError and the ingestion bridge keeps the
 ``needs_prechunk`` contract for it.
 
 Coordinates: PDF user space is bottom-up; blocks are converted to the
@@ -127,13 +131,39 @@ def _std_widths(base: str) -> dict[int, int] | None:
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
     """Object bodies span to the NEXT object header (not to 'endobj':
-    binary stream payloads can contain that word by chance)."""
+    binary stream payloads can contain that word by chance).  PDF 1.5+
+    object streams (/Type /ObjStm) are expanded in place: their member
+    dicts (catalog, pages, fonts — stream objects can't live there per
+    spec) join the object table like direct objects."""
     headers = list(re.finditer(rb"(\d+)\s+\d+\s+obj\b", data))
     objects: dict[int, bytes] = {}
     for i, m in enumerate(headers):
         end = headers[i + 1].start() if i + 1 < len(headers) else len(data)
         objects[int(m.group(1))] = data[m.end() : end]
+    _inline_objstm(objects)
     return objects
+
+
+def _inline_objstm(objects: dict[int, bytes]) -> None:
+    """Expand every /Type /ObjStm member into ``objects``: the stream
+    payload is ``/N`` (num, offset) integer pairs up to ``/First``, then
+    the concatenated member bodies."""
+    for body in list(objects.values()):
+        h = _head(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", h):
+            continue
+        nm = re.search(rb"/N\s+(\d+)", h)
+        fm = re.search(rb"/First\s+(\d+)", h)
+        payload = _stream_payload(body)
+        if nm is None or fm is None or payload is None:
+            raise ValueError("malformed object stream (/N, /First, or data)")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = re.findall(rb"(\d+)\s+(\d+)", payload[:first])[:n]
+        offs = [(int(a), int(b)) for a, b in pairs]
+        for i, (onum, off) in enumerate(offs):
+            end = offs[i + 1][1] if i + 1 < len(offs) else len(payload) - first
+            # direct objects win (spec: an object lives in exactly one place)
+            objects.setdefault(onum, payload[first + off : first + end])
 
 
 def _head(body: bytes) -> bytes:

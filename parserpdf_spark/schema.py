@@ -94,5 +94,5 @@ LINEAGE_SCHEMA = T.StructType(
     ]
 )
 
-INPUT_KINDS = ("html", "pdf_block", "media")
+INPUT_KINDS = ("html", "pdf_block", "media", "markdown")
 OUTPUT_KINDS = ("heading", "para", "table", "list", "code", "image", "caption")

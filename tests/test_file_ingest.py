@@ -97,11 +97,11 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 33, "error": 1, "needs_prechunk": 1, "skipped": 2}
+    assert statuses == {"ok": 34, "error": 1, "needs_prechunk": 1, "skipped": 2}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 33
+    assert metrics.count() == 34
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -166,9 +166,9 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 33, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 34, "error": 1, "needs_prechunk": 1, "skipped": 2,
     }
-    assert report["docs_by_status"] == {"ok": 33}
+    assert report["docs_by_status"] == {"ok": 34}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 
@@ -420,6 +420,30 @@ def test_pdf_contents_array_and_kids_order():
         pdf_to_blocks(broken)
 
 
+def test_pdf_objstm_fixture_roundtrip():
+    """The PDF 1.5 object-stream fixture (catalog/pages/font packed in a
+    /Type /ObjStm — no 'N 0 obj' frames for them) extracts exactly."""
+    import json
+
+    import pandas as pd
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+
+    data = _fixture_bytes("doc_40.pdf")
+    assert data.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in data
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    text = dict(zip(src["doc_id"].astype(int), src["text"]))[40]
+    blocks = pdf_to_blocks(data)
+    spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
+    words = [w for w in text.split(" ") if w]
+    assert spans[0]["text"] == "# " + " ".join(words[:3])
+    chunks = [" ".join(words[3:][i:i + 12])
+              for i in range(0, len(words) - 3, 12)]
+    assert [s["text"] for s in spans if s["kind"] == "para"] == chunks
+
+
 def test_pdf_w_array_and_tounicode_parsers():
     from parserpdf_spark.kernels.pdf_binary import (
         _parse_tounicode,
@@ -462,7 +486,8 @@ def test_pdf_binary_corpus_roundtrip_500():
             {"compress": False},
             {"compress": True},
             {"compress": True, "font_mode": "type0"},
-        ][nid % 3]
+            {"compress": True, "objstm": True},
+        ][nid % 4]
         blocks = pdf_to_blocks(build_pdf(nid, text, **kw))
         spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
         words = [w for w in text.split(" ") if w]

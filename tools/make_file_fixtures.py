@@ -357,13 +357,17 @@ def build_pdf(
     compress: bool,
     font_mode: str = "type1",
     with_image: bool = False,
+    objstm: bool = False,
 ) -> bytes:
     """A real (minimal, valid-xref) PDF: full-width title + two-column
     body in the synth geometry; Flate-compressed streams on request.
 
     ``font_mode="type0"`` uses a composite Identity-H font (hex-string
     CIDs, /W width array, ToUnicode CMap); ``with_image`` embeds a
-    DCTDecode image XObject placed full-width between title and body.
+    DCTDecode image XObject placed full-width between title and body;
+    ``objstm`` packs all non-stream objects (catalog, pages tree, font,
+    page dicts) into a PDF 1.5 /Type /ObjStm compressed object stream —
+    the modern layout where no ``N 0 obj`` frame exists for them.
     """
     import zlib
 
@@ -450,7 +454,24 @@ def build_pdf(
             + b"\nstream\n" + content + b"\nendstream"
         )
 
-    out = bytearray(b"%PDF-1.4\n")
+    if objstm:
+        members = {n: b for n, b in objs.items() if b"stream" not in b}
+        header_parts: list[str] = []
+        bodies = b""
+        for n in sorted(members):
+            header_parts.append(f"{n} {len(bodies)}")
+            bodies += members[n] + b"\n"
+        hdr = (" ".join(header_parts) + "\n").encode()
+        payload = zlib.compress(hdr + bodies)
+        for n in members:
+            del objs[n]
+        objs[200] = (
+            f"<< /Type /ObjStm /N {len(members)} /First {len(hdr)} "
+            f"/Filter /FlateDecode /Length {len(payload)} >>".encode()
+            + b"\nstream\n" + payload + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
         offsets[num] = len(out)
@@ -508,6 +529,12 @@ def build_corpus() -> None:
     for i, kw in zip(pdf_ids, variants):
         with open(os.path.join(FIXTURES, f"doc_{i}.pdf"), "wb") as fh:
             fh.write(build_pdf(i, by_id[i], **kw))
+
+    # PDF 1.5 object-stream layout (catalog/pages/font inside /ObjStm)
+    objstm_id = docx_ids[13]
+    with open(os.path.join(FIXTURES, f"doc_{objstm_id}.pdf"), "wb") as fh:
+        fh.write(build_pdf(objstm_id, by_id[objstm_id], compress=True,
+                           objstm=True))
 
     # legacy Word binary through the CFB + piece-table kernel
     doc_id_legacy = docx_ids[12]
