@@ -469,3 +469,108 @@ def test_curate_runs_heavy_stages_once(spark, sf_med):
     _, funnel = curate(counted, fr)
     assert funnel.count() == 4
     assert acc.value == 3 * n
+
+
+def test_redact_pii_matches_duckdb(spark, tmp_path):
+    """PII scrubbing agrees with an independent DuckDB RE2 derivation on
+    a corpus with planted emails/IPs/phones (counts + redacted text)."""
+    import duckdb
+    import pandas as pd
+
+    from parserpdf_spark.operators.textops import PII_PATTERNS, redact_pii
+
+    src = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[
+        ["doc_id", "text"]
+    ].copy()
+    # plant deterministic PII in a third of the docs
+    def plant(row):
+        i = int(row["doc_id"])
+        t = row["text"]
+        if i % 3 == 0:
+            t += f" contact user{i}@example-{i % 7}.org now"
+        if i % 4 == 0:
+            t += f" from 10.{i % 256}.0.{(i * 7) % 256}"
+        if i % 5 == 0:
+            t += f" call +44 20{i % 10} 7946 09{i % 90:02d}"
+        return t
+
+    src["text"] = src.apply(plant, axis=1)
+    p = str(tmp_path / "pii.parquet")
+    src.to_parquet(p, index=False)
+
+    got = (
+        redact_pii(spark.read.parquet(p))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exprs = []
+    red = "text"
+    for name, (pat, tok) in PII_PATTERNS.items():
+        exprs.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    want = con.execute(
+        f"SELECT doc_id, {red} AS text_redacted, {', '.join(exprs)} "
+        f"FROM read_parquet('{p}') ORDER BY doc_id"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False
+    )
+    assert got["n_email"].sum() > 0 and got["n_ipv4"].sum() > 0
+    assert got["n_phone"].sum() > 0
+    assert not got["text_redacted"].str.contains("@").any()
+
+
+def test_remove_repeated_lines_matches_duckdb(spark, tmp_path):
+    """Within-doc line dedup agrees with the DuckDB list-lambda twin and
+    keeps exactly the first copy of each repeated line."""
+    import duckdb
+    import pandas as pd
+
+    from parserpdf_spark.operators.textops import remove_repeated_lines
+
+    src = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[
+        ["doc_id", "text"]
+    ].copy()
+    # re-shape each doc into lines of 5 words; duplicate a boilerplate
+    # line at top+bottom of every other doc
+    def to_lines(row):
+        words = [w for w in row["text"].split(" ") if w]
+        lines = [" ".join(words[i:i + 5]) for i in range(0, len(words), 5)]
+        if int(row["doc_id"]) % 2 == 0:
+            lines = ["COOKIE BANNER"] + lines + ["COOKIE BANNER"]
+        return "\n".join(lines)
+
+    src["text"] = src.apply(to_lines, axis=1)
+    p = str(tmp_path / "lines.parquet")
+    src.to_parquet(p, index=False)
+
+    got = (
+        remove_repeated_lines(spark.read.parquet(p))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(l, (x, i) -> list_position(l, x) = i),
+                 chr(10)) AS text_dedup,
+               len(l) AS n_lines,
+               len(l) - len(list_filter(l, (x, i) -> list_position(l, x) = i))
+                 AS n_removed
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+              FROM read_parquet('{p}'))
+        ORDER BY doc_id
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False
+    )
+    evens = got[got["doc_id"] % 2 == 0]
+    assert (evens["n_removed"] >= 1).all()
+    assert not evens["text_dedup"].str.endswith("COOKIE BANNER").any()
+    assert evens["text_dedup"].str.startswith("COOKIE BANNER").all()
