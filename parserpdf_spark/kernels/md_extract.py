@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import re
 
-_IMAGE_RE = re.compile(r"^!\[[^\]]*\]\(([^)]*)\)\s*$")
+# greedy ref group: a ref containing ')' (e.g. "fig(1).png") still
+# round-trips — the LAST ')' closes the image
+_IMAGE_RE = re.compile(r"^!\[[^\]]*\]\((.*)\)\s*$")
 _HEADING_RE = re.compile(r"^#{1,6}\s")
 _CAPTION_RE = re.compile(r"^\*\*(?:fig\.|figure|table|tab\.)", re.I)
 
@@ -65,10 +67,22 @@ def markdown_to_spans(text: str) -> list[dict]:
             out.append({"kind": "image", "text": "", "media_ref": m.group(1)})
             continue
         if _HEADING_RE.match(stripped):
-            out.append({"kind": "heading", "text": stripped, "media_ref": None})
+            # only the FIRST line is the heading — markdown does not
+            # require a blank line before the next paragraph
+            head, _, rest = stripped.partition("\n")
+            out.append({"kind": "heading", "text": head.strip(),
+                        "media_ref": None})
+            rest = " ".join(
+                ln.strip() for ln in rest.split("\n") if ln.strip()
+            )
+            if rest:
+                out.append({"kind": "para", "text": rest, "media_ref": None})
             continue
         if stripped.startswith("```"):
-            inner = lines[1:-1] if len(lines) >= 2 else []
+            # strip the closing fence only if it is actually there — an
+            # unclosed fence at EOF must not eat the last code line
+            closed = len(lines) >= 2 and lines[-1].lstrip().startswith("```")
+            inner = lines[1:-1] if closed else lines[1:]
             out.append({
                 "kind": "code", "text": "\n".join(inner), "media_ref": None,
             })

@@ -128,10 +128,14 @@ def minhash_signatures(
     The base hash is ``xxhash64`` (no cryptographic digest in the hot
     loop: md5 → xxhash64 measured ~25% faster warm and ~3× faster on the
     first execution, which pays md5's much larger codegen).  The hash
-    family only affects WHICH permutations the mins come from — the
-    gated output is the exact-Jaccard-verified pair list, which is
-    hash-family-independent at recall 1 (signatures have no oracle;
-    xxhash64 needs no DuckDB twin).
+    family only affects WHICH permutations the mins come from; false
+    POSITIVES are always removed by the exact-Jaccard verify, and the
+    16×4 banding's recall at threshold 0.8 is an empirical ≈1 — measured
+    exact-equal to the all-pairs oracle on the gate corpora, and
+    re-checked every run by ``tests/test_oracle_parity.py`` (which gates
+    the brute-force baselines too, so a recall miss can never drift in
+    silently).  Signatures themselves have no oracle; xxhash64 needs no
+    DuckDB twin.
 
     One shuffle with map-side partial mins — the 10^12-scale shape (the
     naive shingle×perm explode multiplies the shuffle by 64; per-perm
@@ -484,6 +488,22 @@ def connected_components(
         labels = prop
         if changed == 0:
             break
+    if changed != 0:
+        # the LAST allowed round may itself have completed propagation
+        # (changed counts updates MADE, not updates REMAINING) — run one
+        # verification round before declaring failure
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = prop
     sym.unpersist()
     if changed != 0:
         # never hand back wrong cluster ids silently: a component whose

@@ -256,8 +256,12 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         "<IP>",
     ),
     "phone": (
-        # +country or bare, 9-15 digits with -, space or . separators
-        r"\+?\d{1,3}[-. ]\d{2,4}[-. ]\d{2,4}[-. ]?\d{0,4}\b",
+        # either +country followed by 2-4 separated digit groups, or the
+        # bare 3-3-4 shape.  Anchored so dotted versions ("10.15.70"),
+        # ISO dates ("2024-08-16") and digit-runs inside longer numbers
+        # never match (no lookarounds — the pattern must stay RE2-safe
+        # for the DuckDB cross-check)
+        r"\+\d{1,3}(?:[-. ]\d{2,4}){2,4}|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
         "<PHONE>",
     ),
 }
@@ -298,8 +302,12 @@ def remove_repeated_lines(
     identical line occurred earlier in the same document
     (``array_position(lines, line) == own index`` keeps exactly the
     first copy).  O(lines²) per document but JVM-side and array-local —
-    documents are KB-scale; nothing shuffles."""
-    lines = F.split(F.col(text_col), sep)
+    documents are KB-scale; nothing shuffles.
+
+    ``sep`` is treated as a LITERAL separator on both sides (split's
+    pattern argument is a regex, so it is \\Q…\\E-quoted here — a caller
+    passing '|' or '.' gets literal behavior, not regex explosion)."""
+    lines = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1).cast("bigint")
     )

@@ -64,13 +64,19 @@ def _html_span(text: str) -> list[dict[str, Any]]:
     return [{"kind": "html", "text": text, "media_ref": None, "offset": 0}]
 
 
-def route_file(path: str, content: bytes) -> dict[str, Any]:
-    """Pure-python routing for one scanned file (also used by the golden
-    generator, keeping goldens independent of the Spark execution path)."""
+def _path_parts(path: str) -> tuple[str, str]:
+    """(doc_id, lowercase suffix incl. dot) — THE doc-id derivation, shared
+    by the docs bridge and the media bridge so their rows always join."""
     name = path.rsplit("/", 1)[-1]
     stem, dot, ext = name.rpartition(".")
     suffix = f".{ext.lower()}" if dot else ""
-    doc_id = stem if dot else name
+    return (stem if dot else name), suffix
+
+
+def route_file(path: str, content: bytes) -> dict[str, Any]:
+    """Pure-python routing for one scanned file (also used by the golden
+    generator, keeping goldens independent of the Spark execution path)."""
+    doc_id, suffix = _path_parts(path)
     row = {
         "doc_id": doc_id,
         "src_path": path,
@@ -174,14 +180,16 @@ def file_media_rows(path: str, content: bytes) -> list[dict[str, Any]]:
     a file whose parse fails contributes no payload rows here, its
     error surfaces through the main :func:`route_file` bridge).
 
-    - ``.pdf``: image XObject payloads (DCTDecode JPEGs byte-for-byte)
+    - ``.pdf``: image XObject payloads (DCTDecode JPEGs byte-for-byte).
+      NB: this re-runs the PDF parse — the docs and media bridges are
+      deliberately independent narrow stages (different output schemas,
+      usually different runs); a pipeline needing both in one pass can
+      call ``pdf_to_blocks_and_media`` directly.
     - ``.docx``: ``word/media/*`` zip parts, refs relative to ``word/``
-      (matching the ``<img src="media/…">`` refs the shim kernel emits)
+      (matching the ``<img src="media/…">`` refs the shim kernel emits);
+      legacy ``.doc`` has no media scope (text-only kernel)
     """
-    name = path.rsplit("/", 1)[-1]
-    stem, dot, ext = name.rpartition(".")
-    suffix = f".{ext.lower()}" if dot else ""
-    doc_id = stem if dot else name
+    doc_id, suffix = _path_parts(path)
     rows: list[dict[str, Any]] = []
     if suffix == ".pdf":
         from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
@@ -195,7 +203,7 @@ def file_media_rows(path: str, content: bytes) -> list[dict[str, Any]]:
              "payload": m["payload"]}
             for m in media
         ]
-    elif suffix in (".docx", ".doc"):
+    elif suffix == ".docx":
         import io
         import zipfile
         import zlib

@@ -501,3 +501,21 @@ def test_pdf_binary_corpus_roundtrip_500():
         if not ok:
             bad.append(nid)
     assert bad == []
+
+
+def test_markdown_splitter_edge_cases():
+    """Regression (review findings): heading directly followed by text,
+    unclosed fence at EOF, and parenthesised image refs."""
+    from parserpdf_spark.kernels.md_extract import markdown_to_spans
+
+    spans = markdown_to_spans("# Title\nFirst paragraph sentence.")
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("heading", "# Title"),
+        ("para", "First paragraph sentence."),
+    ]
+    spans = markdown_to_spans("```\nline1\nline2")
+    assert spans == [{"kind": "code", "text": "line1\nline2",
+                      "media_ref": None}]
+    spans = markdown_to_spans("![](fig(1).png)")
+    assert spans == [{"kind": "image", "text": "",
+                      "media_ref": "fig(1).png"}]

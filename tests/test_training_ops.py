@@ -574,3 +574,56 @@ def test_remove_repeated_lines_matches_duckdb(spark, tmp_path):
     assert (evens["n_removed"] >= 1).all()
     assert not evens["text_dedup"].str.endswith("COOKIE BANNER").any()
     assert evens["text_dedup"].str.startswith("COOKIE BANNER").all()
+
+
+def test_redact_pii_leaves_dates_versions_ips_alone(spark):
+    """Regression (review finding): the phone pattern must not corrupt
+    ISO dates, dotted version strings, or double-count IPv4 octets."""
+    from parserpdf_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "released 2024-08-16 today"),
+            (2, "version 10.15.70 is out"),
+            (3, "host 192.168.10.100 responded"),
+            (4, "call 555-123-4567 or +44 201 7946 0912 now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["text_redacted"] == "released 2024-08-16 today"
+    assert got[2]["text_redacted"] == "version 10.15.70 is out"
+    assert got[1]["n_phone"] == 0 and got[2]["n_phone"] == 0
+    # an IP is an IP, not also a phone
+    assert got[3]["n_ipv4"] == 1 and got[3]["n_phone"] == 0
+    assert got[3]["text_redacted"] == "host <IP> responded"
+    assert got[4]["n_phone"] == 2
+    assert got[4]["text_redacted"] == "call <PHONE> or <PHONE> now"
+
+
+def test_remove_repeated_lines_literal_separator(spark):
+    """Regression (review finding): a regex-metachar separator is
+    treated literally, not as a pattern."""
+    from parserpdf_spark.operators.textops import remove_repeated_lines
+
+    df = spark.createDataFrame([(1, "a|b|a|c")], "doc_id long, text string")
+    row = remove_repeated_lines(df, sep="|").collect()[0]
+    assert row["text_dedup"] == "a|b|c"
+    assert row["n_lines"] == 4 and row["n_removed"] == 1
+
+
+def test_connected_components_converging_at_last_round_ok(spark):
+    """Regression (review finding): convergence ON the final allowed
+    round must not raise — a verification round distinguishes 'made its
+    last update' from 'still propagating'."""
+    from parserpdf_spark.operators.dedup import connected_components
+
+    # a 4-chain converges in 3 rounds of min-propagation; max_iters=3
+    # ends the loop with changed > 0 on some schedules — the extra
+    # verify round must accept it
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(chain, max_iters=3).collect()}
+    assert set(got.values()) == {1}
