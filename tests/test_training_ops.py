@@ -627,3 +627,62 @@ def test_connected_components_converging_at_last_round_ok(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(chain, max_iters=3).collect()}
     assert set(got.values()) == {1}
+
+
+def test_curate_job_end_to_end(spark, tmp_path, sf_med):
+    """The spark-submit curation entry: quality -> dedup -> decontam ->
+    sample -> per-lang shards on disk, deterministic across reruns."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+
+    from parserpdf_spark.jobs.curate_job import main
+
+    # eval set: 10 real docs (so decontamination has true positives)
+    eval_dir = str(tmp_path / "eval")
+    src = pd.read_parquet(f"{sf_med}/documents.parquet")[["doc_id", "text"]]
+    src.head(10).to_parquet(tmp_path / "eval.parquet", index=False)
+    os.makedirs(eval_dir)
+    os.replace(tmp_path / "eval.parquet", os.path.join(eval_dir, "e.parquet"))
+
+    out = str(tmp_path / "shards")
+    argv = [
+        "--input", sf_med, "--output", out,
+        "--fraction", "en=0.5", "--fraction", "de=0.5",
+        "--fraction", "es=0.5", "--fraction", "fr=0.5",
+        "--fraction", "zh=0.5", "--shard-tokens", "5000",
+        "--eval", eval_dir,
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(argv, spark=spark) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = report["funnel"]
+    assert f["1_raw"] >= f["2_quality"] >= f["3_dedup"] >= f["4_sample"]
+    assert f["5_decontaminated"] <= f["4_sample"]
+    assert report["n_docs_written"] == f["5_decontaminated"] > 0
+    assert report["n_shards"] >= 5  # at least one shard per sampled lang
+
+    # shards are partition dirs and budgets hold per (lang, shard)
+    final = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    sums = final.groupBy("lang", "shard_id").agg(
+        F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("m")
+    )
+    assert sums.filter(F.col("t") > 5000 + F.col("m")).count() == 0
+
+    # deterministic: rerun writes the identical doc->shard assignment
+    out2 = str(tmp_path / "shards2")
+    argv2 = list(argv)
+    argv2[argv2.index(out)] = out2
+    with redirect_stdout(io.StringIO()):
+        assert main(argv2, spark=spark) == 0
+    a = {(r["doc_id"], r["lang"], r["shard_id"])
+         for r in spark.read.parquet(out).collect()}
+    b = {(r["doc_id"], r["lang"], r["shard_id"])
+         for r in spark.read.parquet(out2).collect()}
+    assert a == b
