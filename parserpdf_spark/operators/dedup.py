@@ -445,11 +445,13 @@ def connected_components(
     Each iteration is one join + one groupBy over the (symmetrized +
     self-loop) edge list: label(n) ← min over in-neighbors m of
     label(m).  Converges in O(diameter) rounds — dup clusters are
-    near-cliques (diameter ≤ 2-3), so a handful of rounds in practice;
-    ``max_iters`` bounds pathological chains (the published
-    large-star/small-star scheme gets O(log n) worst-case if ever
-    needed).  Driver-side loop holds only a changed-row COUNT, never
-    data; per-round results are persisted and the previous round freed.
+    near-cliques (diameter ≤ 2-3), so a handful of rounds in practice
+    and ONE light shuffle per round; ``max_iters`` bounds pathological
+    chains.  For genuinely chain-like graphs use
+    :func:`connected_components_star` (O(log n) rounds, heavier per
+    round; equivalence-tested against this one).  Driver-side loop holds
+    only a changed-row COUNT, never data; per-round results are
+    persisted and the previous round freed.
     """
     from pyspark import StorageLevel
 
@@ -515,6 +517,91 @@ def connected_components(
             "graphs converging this slowly have chain-like components"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """O(log n)-round connected components via alternating large-star /
+    small-star contraction (Kiveris et al., *Connected Components in
+    MapReduce and Beyond*, SoCC 2014) — the scale path for graphs whose
+    components are NOT near-cliques (chain-like link graphs), where
+    min-label propagation needs O(diameter) rounds.
+
+    - large-star(u): every strictly-larger neighbor of u re-attaches to
+      ``m = min(N(u) ∪ {u})``
+    - small-star(u): edges oriented (larger, smaller); every smaller
+      neighbor and u itself re-attach to m
+
+    Both phases are one groupBy + one join over the edge list; the edge
+    set is a fixed point exactly when it is a forest of stars rooted at
+    component minima.  The driver holds only change counts;
+    ``localCheckpoint`` truncates per-round lineage as in
+    :func:`connected_components`.  Output matches it exactly:
+    (doc_id, cluster_id = component min).
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = e.localCheckpoint()
+    converged = False
+    for _ in range(max_iters):
+        # LARGE-STAR
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # SMALL-STAR
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        members = oriented.unionByName(
+            mins2.select("u", F.col("u").alias("v"))
+        ).distinct()
+        small = (
+            members.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        unchanged = (
+            small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(small).limit(1).count() == 0
+        )
+        edges = small
+        if unchanged:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — pathological input (the scheme is O(log n) rounds)"
+        )
+    # fixed point = stars: non-roots appear as u, roots as v
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
 
 
 def ngram_contamination(

@@ -686,3 +686,40 @@ def test_curate_job_end_to_end(spark, tmp_path, sf_med):
     b = {(r["doc_id"], r["lang"], r["shard_id"])
          for r in spark.read.parquet(out2).collect()}
     assert a == b
+
+
+def test_connected_components_star_equals_label_propagation(spark):
+    """The O(log n) large-star/small-star contraction produces exactly
+    the label-propagation clustering — including on a chain four times
+    longer than the round budget label propagation would need."""
+    import random
+
+    from parserpdf_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (7, 8)],
+        [(i, i + 1) for i in range(100, 140)],  # 40-chain
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        + [(5, 50), (50, 51)],
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(250)],
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components_star(df).collect()}
+        naive = {r["doc_id"]: r["cluster_id"]
+                 for r in connected_components(df, max_iters=200).collect()}
+        assert star == naive
+    # the chain case: star converges well inside a budget where plain
+    # propagation provably cannot (info travels one hop per round)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "doc_a long, doc_b long"
+    )
+    got = {r["cluster_id"] for r in
+           connected_components_star(chain, max_iters=10).collect()}
+    assert got == {100}
