@@ -70,14 +70,15 @@ def main(argv=None, spark=None) -> int:
     from pyspark.sql import SparkSession
 
     owns_session = spark is None
-    if spark is not None:
-        pass  # caller-provided session; caller stops it
-    elif args.cores is not None:
-        from parserpdf_spark.session import get_spark
+    if owns_session:
+        if args.cores is not None:
+            from parserpdf_spark.session import get_spark
 
-        spark = get_spark(cores=args.cores, app_name="parserpdf_curate_job")
-    else:
-        spark = SparkSession.builder.appName("parserpdf_curate_job").getOrCreate()
+            spark = get_spark(cores=args.cores, app_name="parserpdf_curate_job")
+        else:
+            spark = (
+                SparkSession.builder.appName("parserpdf_curate_job").getOrCreate()
+            )
 
     from pyspark.sql import functions as F
 
@@ -91,7 +92,8 @@ def main(argv=None, spark=None) -> int:
 
     docs = _read_docs(spark, args.input).select("doc_id", "text", "lang")
     curated, funnel = curate(
-        docs, fractions, key_col="lang", text_col="text"
+        docs, fractions, key_col="lang", text_col="text",
+        default_fraction=args.default_fraction,
     )
     report = {
         "funnel": {r["stage"]: r["n_docs"] for r in funnel.collect()},
@@ -102,24 +104,30 @@ def main(argv=None, spark=None) -> int:
         flagged = ngram_contamination(curated, eval_docs, n=8)
         clean_ids = flagged.filter(~F.col("contaminated")).select("doc_id")
         curated = curated.join(clean_ids, "doc_id", "left_semi")
-        report["funnel"]["5_decontaminated"] = curated.count()
 
     packed = pack_shards(
         curated, shard_tokens=args.shard_tokens, stratum_col="lang"
     )
+    # persist the FINAL frame: the whole quality→dedup→sample→decontam→
+    # pack lineage materializes once and serves the write + every report
+    # aggregate (curate()'s internal caches are freed before it returns)
     shards = packed.join(
         docs.select("doc_id", "text"), "doc_id"
-    ).select("lang", "shard_id", "doc_id", "n_tokens", "text")
-    shards.write.mode("overwrite").partitionBy("lang", "shard_id").parquet(
-        args.output
+    ).select("lang", "shard_id", "doc_id", "n_tokens", "text").persist()
+    n_written = shards.count()
+    if args.eval is not None:
+        report["funnel"]["5_decontaminated"] = n_written
+    if n_written:
+        shards.write.mode("overwrite").partitionBy("lang", "shard_id").parquet(
+            args.output
+        )
+    report["n_docs_written"] = n_written
+    report["n_shards"] = shards.select("lang", "shard_id").distinct().count()
+    report["total_tokens"] = (
+        shards.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+        .collect()[0]["t"] or 0
     )
-
-    final = spark.read.parquet(args.output)
-    report["n_docs_written"] = final.count()
-    report["n_shards"] = final.select("lang", "shard_id").distinct().count()
-    report["total_tokens"] = final.agg(
-        F.sum("n_tokens").cast("bigint").alias("t")
-    ).collect()[0]["t"]
+    shards.unpersist()
     print(json.dumps(report))
     if owns_session:
         spark.stop()

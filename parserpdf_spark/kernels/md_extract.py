@@ -21,9 +21,11 @@ from __future__ import annotations
 
 import re
 
-# greedy ref group: a ref containing ')' (e.g. "fig(1).png") still
-# round-trips — the LAST ')' closes the image
-_IMAGE_RE = re.compile(r"^!\[[^\]]*\]\((.*)\)\s*$")
+# the ref is a whitespace-free path: greedy \S* lets a ref containing
+# ')' ("fig(1).png") round-trip, while a line with trailing content
+# after the image ("![a](x.png) ![b](y.png)", "![a](x.png) (enlarge)")
+# fails the match and falls through to para — never a corrupt ref
+_IMAGE_RE = re.compile(r"^!\[[^\]]*\]\((\S*)\)\s*$")
 _HEADING_RE = re.compile(r"^#{1,6}\s")
 _CAPTION_RE = re.compile(r"^\*\*(?:fig\.|figure|table|tab\.)", re.I)
 
@@ -55,55 +57,50 @@ def _split_blocks(text: str) -> list[str]:
     return blocks
 
 
+def _classify_block(block: str) -> list[dict]:
+    lines = block.split("\n")
+    stripped = block.strip()
+    if not stripped:
+        return []
+    m = _IMAGE_RE.match(stripped)
+    if m:
+        return [{"kind": "image", "text": "", "media_ref": m.group(1)}]
+    if _HEADING_RE.match(stripped):
+        # only the FIRST line is the heading — markdown does not require
+        # a blank line before the next block; the remainder re-classifies
+        # (a second heading stays a heading, an image stays an image)
+        head, _, rest = stripped.partition("\n")
+        return [
+            {"kind": "heading", "text": head.strip(), "media_ref": None}
+        ] + _classify_block(rest)
+    if stripped.startswith("```"):
+        # strip the closing fence only if it is actually there — an
+        # unclosed fence at EOF must not eat the last code line
+        closed = len(lines) >= 2 and lines[-1].lstrip().startswith("```")
+        inner = lines[1:-1] if closed else lines[1:]
+        return [{"kind": "code", "text": "\n".join(inner), "media_ref": None}]
+    if (
+        len(lines) >= 2
+        and lines[0].lstrip().startswith("|")
+        and set(lines[1].replace(" ", "")) <= set("|-:")
+    ):
+        return [{"kind": "table", "text": stripped, "media_ref": None}]
+    if all(ln.lstrip().startswith(("- ", "* ")) for ln in lines):
+        return [{"kind": "list", "text": stripped, "media_ref": None}]
+    if _CAPTION_RE.match(stripped) and stripped.endswith("**"):
+        return [{"kind": "caption", "text": stripped, "media_ref": None}]
+    # paragraph: unwrap hard line breaks
+    return [{
+        "kind": "para",
+        "text": " ".join(ln.strip() for ln in lines if ln.strip()),
+        "media_ref": None,
+    }]
+
+
 def markdown_to_spans(text: str) -> list[dict]:
     """One markdown document → output-span dicts (kind, text, media_ref);
     offsets are assigned downstream by the dispatcher."""
     out: list[dict] = []
     for block in _split_blocks(text):
-        lines = block.split("\n")
-        stripped = block.strip()
-        m = _IMAGE_RE.match(stripped)
-        if m:
-            out.append({"kind": "image", "text": "", "media_ref": m.group(1)})
-            continue
-        if _HEADING_RE.match(stripped):
-            # only the FIRST line is the heading — markdown does not
-            # require a blank line before the next paragraph
-            head, _, rest = stripped.partition("\n")
-            out.append({"kind": "heading", "text": head.strip(),
-                        "media_ref": None})
-            rest = " ".join(
-                ln.strip() for ln in rest.split("\n") if ln.strip()
-            )
-            if rest:
-                out.append({"kind": "para", "text": rest, "media_ref": None})
-            continue
-        if stripped.startswith("```"):
-            # strip the closing fence only if it is actually there — an
-            # unclosed fence at EOF must not eat the last code line
-            closed = len(lines) >= 2 and lines[-1].lstrip().startswith("```")
-            inner = lines[1:-1] if closed else lines[1:]
-            out.append({
-                "kind": "code", "text": "\n".join(inner), "media_ref": None,
-            })
-            continue
-        if (
-            len(lines) >= 2
-            and lines[0].lstrip().startswith("|")
-            and set(lines[1].replace(" ", "")) <= set("|-:")
-        ):
-            out.append({"kind": "table", "text": stripped, "media_ref": None})
-            continue
-        if all(ln.lstrip().startswith(("- ", "* ")) for ln in lines):
-            out.append({"kind": "list", "text": stripped, "media_ref": None})
-            continue
-        if _CAPTION_RE.match(stripped) and stripped.endswith("**"):
-            out.append({"kind": "caption", "text": stripped, "media_ref": None})
-            continue
-        # paragraph: unwrap hard line breaks
-        out.append({
-            "kind": "para",
-            "text": " ".join(ln.strip() for ln in lines if ln.strip()),
-            "media_ref": None,
-        })
+        out.extend(_classify_block(block))
     return out

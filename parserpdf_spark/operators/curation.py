@@ -26,6 +26,7 @@ def curate(
     fractions: dict[str, float],
     key_col: str = "lang",
     text_col: str = "text",
+    default_fraction: float = 0.0,
 ) -> tuple[DataFrame, DataFrame]:
     """(curated_docs, funnel) — curated rows plus per-stage counts.
 
@@ -57,7 +58,8 @@ def curate(
     )
 
     sampled = stratified_sample(
-        deduped, fractions, key_col=key_col, id_col="doc_id"
+        deduped, fractions, key_col=key_col, id_col="doc_id",
+        default=default_fraction,
     )
 
     spark = docs.sparkSession

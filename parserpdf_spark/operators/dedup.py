@@ -541,8 +541,15 @@ def connected_components_star(
     component minima.  The driver holds only change counts;
     ``localCheckpoint`` truncates per-round lineage as in
     :func:`connected_components`.  Output matches it exactly:
-    (doc_id, cluster_id = component min).
+    (doc_id, cluster_id = component min) — including nodes whose only
+    pairs are self-pairs (they label themselves, as in the
+    label-propagation variant).
     """
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -594,14 +601,19 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_iters} "
             "rounds — pathological input (the scheme is O(log n) rounds)"
         )
-    # fixed point = stars: non-roots appear as u, roots as v
-    return (
+    # fixed point = stars: non-roots appear as u, roots as v; nodes with
+    # no surviving edges (self-pairs only) label themselves
+    labels = (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .unionByName(
             edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
         )
         .distinct()
     )
+    singletons = all_nodes.join(
+        labels, all_nodes["node"] == labels["doc_id"], "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return labels.unionByName(singletons)
 
 
 def ngram_contamination(
@@ -659,12 +671,16 @@ def stratified_sample(
     stable across partitionings)."""
     from itertools import chain
 
-    frac_map = F.create_map(
-        *chain.from_iterable(
-            (F.lit(k), F.lit(float(v))) for k, v in sorted(fractions.items())
+    if fractions:
+        frac_map = F.create_map(
+            *chain.from_iterable(
+                (F.lit(k), F.lit(float(v))) for k, v in sorted(fractions.items())
+            )
         )
-    )
-    frac = F.coalesce(frac_map[F.col(key_col)], F.lit(float(default)))
+        frac = F.coalesce(frac_map[F.col(key_col)], F.lit(float(default)))
+    else:  # no per-key overrides: every stratum keeps the default
+        # (an argless create_map() is map<void,void> — unindexable)
+        frac = F.lit(float(default))
     bucket = md5_60(F.col(id_col).cast("string")) % 1_000_000
     return docs.filter(bucket < (frac * 1_000_000).cast("bigint"))
 

@@ -261,7 +261,7 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         # ISO dates ("2024-08-16") and digit-runs inside longer numbers
         # never match (no lookarounds — the pattern must stay RE2-safe
         # for the DuckDB cross-check)
-        r"\+\d{1,3}(?:[-. ]\d{2,4}){2,4}|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+        r"\+\d{1,3}(?:[-. ]\d{2,4}){2,4}\b|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
         "<PHONE>",
     ),
 }

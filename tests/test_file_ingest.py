@@ -519,3 +519,25 @@ def test_markdown_splitter_edge_cases():
     spans = markdown_to_spans("![](fig(1).png)")
     assert spans == [{"kind": "image", "text": "",
                       "media_ref": "fig(1).png"}]
+
+
+def test_markdown_splitter_second_review_findings():
+    """Regression: consecutive headings stay headings; an image right
+    after a heading survives; image lines with trailing content fall
+    through to para (never a corrupt ref)."""
+    from parserpdf_spark.kernels.md_extract import markdown_to_spans
+
+    spans = markdown_to_spans("# Title\n## Section")
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("heading", "# Title"), ("heading", "## Section"),
+    ]
+    spans = markdown_to_spans("# T\n![](fig.png)")
+    assert [(s["kind"], s["media_ref"]) for s in spans] == [
+        ("heading", None), ("image", "fig.png"),
+    ]
+    spans = markdown_to_spans("![a](x.png) ![b](y.png)")
+    assert [s["kind"] for s in spans] == ["para"]  # no corrupt ref
+    spans = markdown_to_spans("![a](x.png) (click to enlarge)")
+    assert [s["kind"] for s in spans] == ["para"]
+    # parenthesised refs still round-trip
+    assert markdown_to_spans("![](fig(1).png)")[0]["media_ref"] == "fig(1).png"

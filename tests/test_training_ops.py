@@ -723,3 +723,63 @@ def test_connected_components_star_equals_label_propagation(spark):
     got = {r["cluster_id"] for r in
            connected_components_star(chain, max_iters=10).collect()}
     assert got == {100}
+
+
+def test_redact_pii_plus_phone_does_not_eat_longer_digit_runs(spark):
+    """Regression: the +country alternative must stop at a word boundary,
+    never redacting a prefix of a longer identifier."""
+    from parserpdf_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "order id +44 201 7946 091234 end")], "doc_id long, text string"
+    )
+    row = redact_pii(df).collect()[0]
+    # the id's tail digits survive un-split ("091234" never becomes "...34")
+    assert "34 end" in row["text_redacted"]
+    assert "<PHONE>34" not in row["text_redacted"].replace("<PHONE> ", "")
+
+
+def test_connected_components_star_keeps_self_pair_nodes(spark):
+    """Regression: nodes whose only pairs are self-pairs must label
+    themselves (exactly like the label-propagation variant)."""
+    from parserpdf_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "doc_a long, doc_b long"
+    )
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(pairs).collect()}
+    naive = {r["doc_id"]: r["cluster_id"]
+             for r in connected_components(pairs).collect()}
+    assert star == naive == {1: 1, 2: 1, 7: 7}
+
+
+def test_curate_job_default_fraction_and_empty_run(spark, tmp_path, sf_med):
+    """Regression: --default-fraction reaches the sampler; a run that
+    samples nothing reports a zero funnel instead of crashing."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from parserpdf_spark.jobs.curate_job import main
+
+    out = str(tmp_path / "defshards")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["--input", sf_med, "--output", out,
+                     "--default-fraction", "0.5",
+                     "--shard-tokens", "5000"], spark=spark) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_docs_written"] > 0  # unlisted langs kept at 50%
+
+    out2 = str(tmp_path / "empty")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["--input", sf_med, "--output", out2,
+                     "--shard-tokens", "5000"], spark=spark) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_docs_written"] == 0 and report["n_shards"] == 0
+    assert report["total_tokens"] == 0
