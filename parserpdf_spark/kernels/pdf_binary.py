@@ -36,11 +36,14 @@ Supported (all from scratch):
   needed (the parser scans object frames directly, so compressed xref
   tables are transparently irrelevant)
 
+Stream filters: FlateDecode, LZWDecode (TIFF-style variable-width codes,
+EarlyChange=1), ASCIIHexDecode, ASCII85Decode — singly or chained via a
+/Filter array; DCTDecode/JPXDecode image payloads pass through raw.
+
 Scope (honest): non-encrypted PDFs; no inline images (BI…EI), no Form
-XObject recursion, no CID encodings beyond Identity-H, no
-LZW/DCT-decode of non-image streams.  Anything outside the subset
-raises ValueError and the ingestion bridge keeps the
-``needs_prechunk`` contract for it.
+XObject recursion, no CID encodings beyond Identity-H, no PNG
+predictors.  Anything outside the subset raises ValueError and the
+ingestion bridge keeps the ``needs_prechunk`` contract for it.
 
 Coordinates: PDF user space is bottom-up; blocks are converted to the
 top-down convention the layout kernel uses (y0 = page_height − top).
@@ -170,6 +173,113 @@ def _head(body: bytes) -> bytes:
     return body.split(b"stream", 1)[0]
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF/TIFF LZW (ISO 32000 §7.4.4): variable 9-12 bit codes, clear
+    code 256, EOD 257, EarlyChange=1 (the default — the code width grows
+    one code early)."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW: code {code} out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                # a full table stops growing until the encoder's CLEAR
+                table.append(prev + entry[:1])
+            prev = entry
+            # EarlyChange=1 plus the decoder's one-entry lag behind the
+            # encoder (the encoder has already added the entry THIS code
+            # will create): widen one entry early
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (`<~`-less PDF form, terminated by ``~>``)."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    data = re.sub(rb"\s+", b"", data)
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i : i + 1] == b"z":
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        group = data[i : i + 5]
+        i += 5
+        pad = 5 - len(group)
+        group += b"u" * pad
+        acc = 0
+        for c in group:
+            if not 0x21 <= c <= 0x75:
+                raise ValueError(f"ASCII85: invalid byte {c:#x}")
+            acc = acc * 85 + (c - 0x21)
+        four = acc.to_bytes(4, "big")
+        out += four[: 4 - pad]
+    return bytes(out)
+
+
+def _apply_filters(head: bytes, data: bytes) -> bytes:
+    """Run the object's /Filter pipeline (a single name or an array, in
+    order).  DCTDecode/JPXDecode stay raw (image payloads pass through);
+    unknown filters and PNG predictors raise — the pre-chunker contract,
+    never silent garbage."""
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
+    if fm is None:
+        return data
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    if pm and int(pm.group(1)) > 1:
+        raise ValueError(f"unsupported stream predictor {int(pm.group(1))}")
+    for name in names:
+        if name == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"broken FlateDecode stream: {exc}") from exc
+        elif name == b"LZWDecode":
+            data = _lzw_decode(data)
+        elif name == b"ASCIIHexDecode":
+            hexpart = data.split(b">", 1)[0]
+            hexpart = re.sub(rb"\s+", b"", hexpart)
+            if len(hexpart) % 2:
+                hexpart += b"0"
+            try:
+                data = bytes.fromhex(hexpart.decode("ascii"))
+            except (ValueError, UnicodeDecodeError) as exc:
+                raise ValueError(f"broken ASCIIHexDecode stream: {exc}") from exc
+        elif name == b"ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif name in (b"DCTDecode", b"JPXDecode"):
+            return data  # terminal image encodings: payload stays as-is
+        else:
+            raise ValueError(f"unsupported stream filter /{name.decode()}")
+    return data
+
+
 def _stream_payload(body: bytes) -> bytes | None:
     """Stream payload of one object.  Sized by /Length when present —
     compressed bytes can contain ``endstream``/``endobj`` sequences, so
@@ -186,12 +296,7 @@ def _stream_payload(body: bytes) -> bytes | None:
         if end < 0:
             return None
         data = body[sm.end() : end].rstrip(b"\r\n")
-    if b"/FlateDecode" in head:
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as exc:
-            raise ValueError(f"broken FlateDecode stream: {exc}") from exc
-    return data
+    return _apply_filters(head, data)
 
 
 def _ref(head: bytes, key: bytes) -> int | None:
@@ -807,14 +912,9 @@ def _image_payload(objects: dict[int, bytes], num: int) -> bytes:
     else:
         end = body.find(b"endstream", sm.end())
         data = body[sm.end() : end].rstrip(b"\r\n") if end >= 0 else b""
-    if b"/DCTDecode" in head:
-        return data  # the embedded JPEG, byte-for-byte
-    if b"/FlateDecode" in head:
-        try:
-            return zlib.decompress(data)
-        except zlib.error as exc:
-            raise ValueError(f"broken image stream: {exc}") from exc
-    return data
+    # shared filter pipeline: DCTDecode/JPXDecode payloads pass through
+    # byte-for-byte, everything else decodes
+    return _apply_filters(head, data)
 
 
 # ---------------------------------------------------------------------------

@@ -541,3 +541,104 @@ def test_markdown_splitter_second_review_findings():
     assert [s["kind"] for s in spans] == ["para"]
     # parenthesised refs still round-trip
     assert markdown_to_spans("![](fig(1).png)")[0]["media_ref"] == "fig(1).png"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF/PDF LZW encoder (EarlyChange=1) for round-trip tests."""
+    CLEAR, EOD = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits: list[tuple[int, int]] = [(CLEAR, width)]
+    w = b""
+    for b in bytes(data):
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], width))
+        if next_code < 4094:  # room to grow
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + 1 >= (1 << width) and width < 12:
+                width += 1
+        else:  # table (nearly) full: reset, like real PDF writers
+            out_bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((EOD, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_stream_filters():
+    """LZW / ASCIIHex / ASCII85 and filter CHAINS decode correctly
+    (spec vector + stdlib/encoder round-trips + an end-to-end PDF)."""
+    import base64
+    import zlib
+
+    from parserpdf_spark.kernels.pdf_binary import (
+        _apply_filters,
+        _ascii85_decode,
+        _lzw_decode,
+        pdf_to_blocks,
+    )
+
+    # ISO 32000 §7.4.4 worked example
+    assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == b"-----A---B"
+    # round-trips against an independent encoder / the stdlib — incl. a
+    # payload large enough to cross every code width AND force the
+    # table-full CLEAR reset
+    import random as _random
+
+    rng = _random.Random(3)
+    big = bytes(rng.randrange(256) for _ in range(20000))
+    for payload in (b"", b"a", b"abcabcabcabc", bytes(range(256)) * 3,
+                    b"the quick brown fox " * 50, big):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+        assert _ascii85_decode(base64.a85encode(payload) + b"~>") == payload
+
+    content = b"BT /F1 12 Tf 50 700 Td (filters ok) Tj ET"
+    hexed = content.hex().encode() + b">"
+    assert _apply_filters(b"<< /Filter /ASCIIHexDecode >>", hexed) == content
+    # chain: ASCII85(Flate(content)) applied in array order
+    chained = base64.a85encode(zlib.compress(content)) + b"~>"
+    assert _apply_filters(
+        b"<< /Filter [/ASCII85Decode /FlateDecode] >>", chained
+    ) == content
+
+    # end-to-end: an LZW-coded page extracts
+    lzw_content = _lzw_encode(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 842] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /LZWDecode /Length "
+        + str(len(lzw_content)).encode()
+        + b" >>\nstream\n" + lzw_content + b"\nendstream endobj\n"
+    )
+    blocks = pdf_to_blocks(pdf)
+    assert [b["text"] for b in blocks] == ["filters ok"]
+
+    # predictors and unknown filters keep the pre-chunker contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predictor"):
+        _apply_filters(b"<< /Filter /FlateDecode /Predictor 12 >>", b"x")
+    with _pytest.raises(ValueError, match="unsupported stream filter"):
+        _apply_filters(b"<< /Filter /RunLengthDecode >>", b"x")
