@@ -40,10 +40,18 @@ Stream filters: FlateDecode, LZWDecode (TIFF-style variable-width codes,
 EarlyChange=1), ASCIIHexDecode, ASCII85Decode — singly or chained via a
 /Filter array; DCTDecode/JPXDecode image payloads pass through raw.
 
-Scope (honest): non-encrypted PDFs; no inline images (BI…EI), no Form
-XObject recursion, no CID encodings beyond Identity-H, no PNG
-predictors.  Anything outside the subset raises ValueError and the
-ingestion bridge keeps the ``needs_prechunk`` contract for it.
+Inline images (BI…ID…EI) are stripped before tokenization (their binary
+payloads can contain accidental operator bytes) and re-enter as
+synthetic ``Do`` placeholders, so they place via the normal CTM path and
+surface payloads like XObjects.  Form XObjects contribute their text and
+images at the Do-time CTM — identity/translation placements extract
+in-place; scaled/rotated/nested forms raise (exact placement can't be
+reproduced, and silent misplacement is worse than the pre-chunker).
+
+Scope (honest): non-encrypted PDFs; no CID encodings beyond Identity-H,
+no PNG predictors, no RunLength/CCITT filters.  Anything outside the
+subset raises ValueError and the ingestion bridge keeps the
+``needs_prechunk`` contract for it.
 
 Coordinates: PDF user space is bottom-up; blocks are converted to the
 top-down convention the layout kernel uses (y0 = page_height − top).
@@ -800,6 +808,77 @@ def _blocks_from_stream(
 
 
 # ---------------------------------------------------------------------------
+# Inline images (BI … ID … EI)
+# ---------------------------------------------------------------------------
+# abbreviated inline-image filter names (ISO 32000 table 94)
+_INLINE_FILTER_ABBREV = {
+    b"AHx": b"ASCIIHexDecode", b"A85": b"ASCII85Decode",
+    b"LZW": b"LZWDecode", b"Fl": b"FlateDecode", b"DCT": b"DCTDecode",
+    b"RL": b"RunLengthDecode", b"CCF": b"CCITTFaxDecode",
+}
+_BI_RE = re.compile(rb"(?:(?<=[\s>])|\A)BI(?=[\s/])")
+_ID_RE = re.compile(rb"(?<=[\s>])ID[\s]")
+_EI_RE = re.compile(rb"(?<=\s)EI(?=[\s]|\Z)")
+
+
+def _extract_inline_images(
+    content: bytes, page_no: int
+) -> tuple[bytes, dict[bytes, tuple[str, bytes]]]:
+    """Strip ``BI … ID … EI`` inline images from a content stream.
+
+    The binary payload between ID and EI can contain accidental operator
+    byte sequences (BT/ET/Do) that would corrupt tokenization, so the
+    whole segment is replaced by a synthetic ``/__inline_k__ Do`` — the
+    normal image pass then places it with the CTM active at that point.
+    Returns (cleaned content, {placeholder name: (media_ref, payload)}).
+
+    Payloads: DCT-coded images pass through as JPEG bytes; other decode
+    chains are attempted via the shared filter pipeline and fall back to
+    the raw bytes (a decorative inline image must never fail the page).
+    """
+    out: dict[bytes, tuple[str, bytes]] = {}
+    cleaned = bytearray()
+    pos = 0
+    k = 0
+    while True:
+        m = _BI_RE.search(content, pos)
+        if m is None:
+            cleaned += content[pos:]
+            break
+        idm = _ID_RE.search(content, m.end())
+        if idm is None:
+            cleaned += content[pos:]
+            break
+        header = content[m.end() : idm.start()]
+        data_start = idm.end()
+        eim = _EI_RE.search(content, data_start)
+        if eim is None:
+            cleaned += content[pos:]
+            break
+        payload = content[data_start : eim.start()].rstrip(b"\r\n \t")
+        fm = re.search(rb"/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", header)
+        names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
+        names = [_INLINE_FILTER_ABBREV.get(n, n) for n in names]
+        ext = "jpeg" if b"DCTDecode" in names else "bin"
+        if names and b"DCTDecode" not in names:
+            try:
+                payload = _apply_filters(
+                    b"/Filter [" + b" ".join(b"/" + n for n in names) + b"]",
+                    payload,
+                )
+            except ValueError:
+                pass  # keep raw bytes; the ref is still placed
+        name = f"__inline_{page_no}_{k}__".encode()
+        ref = f"_page_{page_no}_inline{k}.{ext}"
+        out[name] = (ref, bytes(payload))
+        cleaned += content[pos : m.start()]
+        cleaned += b" /" + name + b" Do "
+        pos = eim.end()
+        k += 1
+    return bytes(cleaned), out
+
+
+# ---------------------------------------------------------------------------
 # Image XObjects (q/Q/cm tracked CTM + Do placement)
 # ---------------------------------------------------------------------------
 
@@ -834,16 +913,40 @@ def _image_blocks(
     page_h: float,
     xobjects: dict[bytes, int],
     objects: dict[int, bytes],
-) -> tuple[list[dict], list[tuple[str, int]]]:
-    """(media blocks, [(media_ref, xobject num)]) for one page: track the
-    CTM through q/Q/cm and place each image ``Do`` as the transformed
-    unit square."""
+    inline: dict[bytes, tuple[str, bytes]] | None = None,
+    init_ctm: list[float] | None = None,
+) -> tuple[list[dict], list[tuple[str, int]], list[dict], list[tuple[int, list[float]]]]:
+    """One content stream → (media blocks, [(media_ref, xobject num)],
+    inline-image payload rows, form invocations [(form num, CTM)]):
+    track the CTM through q/Q/cm and place each image ``Do`` (XObject or
+    extracted-inline placeholder) as the transformed unit square."""
     blocks: list[dict] = []
     used: list[tuple[str, int]] = []
+    inline_media: list[dict] = []
+    forms: list[tuple[int, list[float]]] = []
     seen_refs: set[str] = set()
-    ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    ctm = list(init_ctm) if init_ctm else [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
     saved: list[list[float]] = []
     stack: list[bytes] = []
+
+    def place(ref: str) -> None:
+        xs, ys = [], []
+        for u, v in ((0, 0), (1, 0), (0, 1), (1, 1)):
+            a, b, c, d, e, f = ctm
+            xs.append(a * u + c * v + e)
+            ys.append(b * u + d * v + f)
+        blocks.append({
+            "page": page_no,
+            "bbox": [round(min(xs), 2),
+                     round(page_h - max(ys), 2),
+                     round(max(xs), 2),
+                     round(page_h - min(ys), 2)],
+            "font_size": 1.0,
+            "text": "",
+            "block_type_hint": "figure",
+            "media_ref": ref,
+        })
+
     for tok in _TOKEN_RE.finditer(content):
         t = tok.group(0)
         if (
@@ -868,33 +971,28 @@ def _image_blocks(
                 ctm = _mat_mul(mat, ctm)
         elif op == b"Do" and stack and stack[-1].startswith(b"/"):
             name = stack[-1][1:]
+            if inline and name in inline:
+                ref, payload = inline[name]
+                place(ref)
+                if ref not in seen_refs:
+                    seen_refs.add(ref)
+                    inline_media.append({"media_ref": ref, "payload": payload})
+                stack.clear()
+                continue
             num = xobjects.get(name)
             if num is not None and num in objects:
                 h = _head(objects[num])
                 if re.search(rb"/Subtype\s*/Image\b", h):
                     ext = "jpeg" if b"/DCTDecode" in h else "bin"
                     ref = f"_page_{page_no}_{name.decode('latin-1')}.{ext}"
-                    xs, ys = [], []
-                    for u, v in ((0, 0), (1, 0), (0, 1), (1, 1)):
-                        a, b, c, d, e, f = ctm
-                        xs.append(a * u + c * v + e)
-                        ys.append(b * u + d * v + f)
-                    blocks.append({
-                        "page": page_no,
-                        "bbox": [round(min(xs), 2),
-                                 round(page_h - max(ys), 2),
-                                 round(max(xs), 2),
-                                 round(page_h - min(ys), 2)],
-                        "font_size": 1.0,
-                        "text": "",
-                        "block_type_hint": "figure",
-                        "media_ref": ref,
-                    })
+                    place(ref)
                     if ref not in seen_refs:
                         seen_refs.add(ref)
                         used.append((ref, num))
+                elif re.search(rb"/Subtype\s*/Form\b", h):
+                    forms.append((num, list(ctm)))
         stack.clear()
-    return blocks, used
+    return blocks, used, inline_media, forms
 
 
 def _image_payload(objects: dict[int, bytes], num: int) -> bytes:
@@ -942,6 +1040,22 @@ def pdf_to_blocks_and_media(
     objects = _parse_objects(data)
     page_nums = _page_numbers(objects)
 
+    _IDENTITY = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+
+    def translation_of(ctm: list[float]) -> tuple[float, float]:
+        """(dx, dy) for an identity-or-translation CTM; raises on any
+        scale/rotation/shear — a form whose text placement we cannot
+        reproduce exactly must go to the pre-chunker, never come out
+        silently misplaced."""
+        a, b, c, d, e, f = ctm
+        if (abs(a - 1) > 1e-6 or abs(d - 1) > 1e-6
+                or abs(b) > 1e-6 or abs(c) > 1e-6):
+            raise ValueError(
+                "form XObject placed with scale/rotation — external "
+                "pre-chunker required"
+            )
+        return e, f
+
     blocks: list[dict] = []
     media: list[dict] = []
     n_text_blocks = 0
@@ -954,19 +1068,69 @@ def pdf_to_blocks_and_media(
         page_h = float(mb.group(1)) if mb else 842.0
         resources = _resources(objects, num)
         fonts = _page_fonts(objects, resources)
+        content, inline = _extract_inline_images(content, page_no)
         text_blocks = _blocks_from_stream(content, page_no, page_h, fonts)
-        n_text_blocks += len(text_blocks)
         blocks.extend(text_blocks)
-        img_blocks, used = _image_blocks(
+        img_blocks, used, inline_media, forms = _image_blocks(
             content, page_no, page_h, _page_xobjects(objects, resources),
-            objects,
+            objects, inline=inline,
         )
         blocks.extend(img_blocks)
+        media.extend(inline_media)
         for ref, obj_num in used:
             media.append({"media_ref": ref,
                           "payload": _image_payload(objects, obj_num)})
+
+        # form XObjects: their content contributes text/images at the
+        # Do-time CTM — dropping it would be silent text loss.  Only
+        # identity/translation placements are in scope (checked above).
+        for form_num, ctm in forms:
+            fh = _head(objects[form_num])
+            fmat = _dict_value(objects, fh, b"Matrix")
+            if fmat is not None:
+                vals = [float(v) for v in
+                        re.findall(rb"-?\d+(?:\.\d+)?", _head(fmat))][:6]
+                if vals and vals != _IDENTITY:
+                    ctm = _mat_mul(vals, ctm)
+            dx, dy = translation_of(ctm)
+            payload = _stream_payload(objects[form_num])
+            if payload is None:
+                raise ValueError(f"form XObject {form_num} without a stream")
+            f_res = _dict_value(objects, fh, b"Resources")
+            f_fonts = _page_fonts(objects, f_res) if f_res is not None else fonts
+            f_content, f_inline = _extract_inline_images(payload, page_no)
+            f_text = _blocks_from_stream(f_content, page_no, page_h, f_fonts)
+            f_imgs, f_used, f_inline_media, f_forms = _image_blocks(
+                f_content, page_no, page_h,
+                _page_xobjects(objects, f_res if f_res is not None else resources),
+                objects, inline=f_inline, init_ctm=ctm,
+            )
+            if f_forms:
+                raise ValueError(
+                    "nested form XObjects — external pre-chunker required"
+                )
+            for tb in f_text:  # translate into page space (top-down y)
+                x0, y0, x1, y1 = tb["bbox"]
+                tb["bbox"] = [round(x0 + dx, 2), round(y0 - dy, 2),
+                              round(x1 + dx, 2), round(y1 - dy, 2)]
+            # f_imgs already placed via init_ctm
+            blocks.extend(f_text)
+            blocks.extend(f_imgs)
+            media.extend(f_inline_media)
+            for ref, obj_num in f_used:
+                media.append({"media_ref": ref,
+                              "payload": _image_payload(objects, obj_num)})
+            n_text_blocks += len(f_text)
+        n_text_blocks += len(text_blocks)
     if n_text_blocks == 0:
         raise ValueError("no extractable text (scanned/image-only PDF?)")
+    # page and form resource namespaces can reuse XObject names: one
+    # payload per distinct media_ref
+    seen: set[str] = set()
+    media = [
+        m for m in media
+        if not (m["media_ref"] in seen or seen.add(m["media_ref"]))
+    ]
     return blocks, media
 
 

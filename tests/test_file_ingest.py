@@ -642,3 +642,84 @@ def test_pdf_stream_filters():
         _apply_filters(b"<< /Filter /FlateDecode /Predictor 12 >>", b"x")
     with _pytest.raises(ValueError, match="unsupported stream filter"):
         _apply_filters(b"<< /Filter /RunLengthDecode >>", b"x")
+
+
+def _mini_pdf(extra_objs: bytes, page_extra: bytes, content: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 842] "
+        + page_extra + b" /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream endobj\n"
+        + extra_objs
+    )
+
+
+def test_pdf_form_xobjects_extract_text():
+    """Text inside a form XObject is extracted (identity and translated
+    placements); scale/rotation and nesting keep the pre-chunker
+    contract instead of silently misplacing or dropping text."""
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    form_content = b"BT /F1 12 Tf 50 700 Td (inside form) Tj ET"
+    form = (
+        b"5 0 obj << /Type /XObject /Subtype /Form /BBox [0 0 612 842] "
+        b"/Resources << /Font << /F1 6 0 R >> >> /Length "
+        + str(len(form_content)).encode()
+        + b" >>\nstream\n" + form_content + b"\nendstream endobj\n"
+        b"6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b" endobj\n"
+    )
+    page_extra = b"/Resources << /XObject << /Fm1 5 0 R >> >>"
+
+    # identity placement
+    blocks = pdf_to_blocks(_mini_pdf(
+        form, page_extra, b"BT /F1 12 Tf 50 100 Td (page text) Tj ET\n/Fm1 Do"
+    ))
+    by_text = {b["text"]: b for b in blocks}
+    assert "inside form" in by_text and "page text" in by_text
+    assert by_text["inside form"]["bbox"][1] < by_text["page text"]["bbox"][1]
+
+    # translated placement: q 1 0 0 1 dx dy cm /Fm1 Do Q shifts the bbox
+    blocks_t = pdf_to_blocks(_mini_pdf(
+        form, page_extra, b"q 1 0 0 1 100 -200 cm /Fm1 Do Q"
+    ))
+    base = {b["text"]: b for b in
+            pdf_to_blocks(_mini_pdf(form, page_extra, b"/Fm1 Do"))}
+    got = {b["text"]: b for b in blocks_t}["inside form"]["bbox"]
+    want = base["inside form"]["bbox"]
+    assert got[0] == want[0] + 100 and got[2] == want[2] + 100
+    assert got[1] == want[1] + 200  # pdf dy=-200 → top-down y grows
+
+    # scaled placement → ValueError (never silent misplacement)
+    with pytest.raises(ValueError, match="scale/rotation"):
+        pdf_to_blocks(_mini_pdf(
+            form, page_extra, b"q 2 0 0 2 0 0 cm /Fm1 Do Q"
+        ))
+
+
+def test_pdf_inline_images_strip_and_place():
+    """BI…ID…EI segments (binary payloads that could contain fake
+    operator bytes) are placed as media blocks with payloads and never
+    corrupt text tokenization."""
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
+
+    fake = b"\x00BT (junk) Tj ET\xff\xfe EI-not-really \x01\x02"
+    content = (
+        b"BT /F1 12 Tf 50 700 Td (before) Tj ET\n"
+        b"q 64 0 0 48 100 500 cm BI /W 8 /H 8 /BPC 8 /CS /RGB ID "
+        + fake + b" EI Q\n"
+        b"BT /F1 12 Tf 50 100 Td (after) Tj ET"
+    )
+    pdf = _mini_pdf(b"", b"", content)
+    blocks, media = pdf_to_blocks_and_media(pdf)
+    texts = [b["text"] for b in blocks if b["text"]]
+    assert texts == ["before", "after"]  # no junk text leaked through
+    imgs = [b for b in blocks if b.get("media_ref")]
+    assert len(imgs) == 1 and imgs[0]["media_ref"] == "_page_0_inline0.bin"
+    # bbox from the CTM: x 100..164, pdf y 500..548 → top-down 294..342
+    assert imgs[0]["bbox"] == [100.0, 294.0, 164.0, 342.0]
+    assert media[0]["media_ref"] == "_page_0_inline0.bin"
+    assert media[0]["payload"].startswith(b"\x00BT")
