@@ -816,13 +816,52 @@ _INLINE_FILTER_ABBREV = {
     b"LZW": b"LZWDecode", b"Fl": b"FlateDecode", b"DCT": b"DCTDecode",
     b"RL": b"RunLengthDecode", b"CCF": b"CCITTFaxDecode",
 }
-_BI_RE = re.compile(rb"(?:(?<=[\s>])|\A)BI(?=[\s/])")
-_ID_RE = re.compile(rb"(?<=[\s>])ID[\s]")
 _EI_RE = re.compile(rb"(?<=\s)EI(?=[\s]|\Z)")
+_CS_COMPONENTS = {
+    b"G": 1, b"DeviceGray": 1, b"RGB": 3, b"DeviceRGB": 3,
+    b"CMYK": 4, b"DeviceCMYK": 4, b"I": 1, b"Indexed": 1,
+}
+
+
+def _find_operator(content: bytes, start: int, word: bytes):
+    """The next OPERATOR token equal to ``word``, scanning token-wise —
+    string literals are consumed whole, so 'BI'/'ID'/'EI' INSIDE page
+    text (`(ask the BI desk) Tj`) can never match."""
+    for tok in _TOKEN_RE.finditer(content, start):
+        if tok.group(0) == word:
+            return tok
+    return None
+
+
+def _inline_payload_end(content: bytes, header: bytes, data_start: int) -> int:
+    """End offset (exclusive) of an inline image's sample data.
+
+    Uncompressed images have an exactly computable length
+    (ceil(W*bpc*components/8)*H), so accidental ' EI ' bytes inside raw
+    samples can't truncate them; filtered payloads fall back to the
+    whitespace-delimited EI scan (the industry-standard heuristic — the
+    format provides nothing better without decoding)."""
+    has_filter = re.search(rb"/(?:F|Filter)\b", header) is not None
+    if not has_filter:
+        wm = re.search(rb"/(?:W|Width)\s+(\d+)", header)
+        hm = re.search(rb"/(?:H|Height)\s+(\d+)", header)
+        bm = re.search(rb"/(?:BPC|BitsPerComponent)\s+(\d+)", header)
+        cm = re.search(rb"/(?:CS|ColorSpace)\s*/([A-Za-z0-9]+)", header)
+        if wm and hm:
+            bpc = int(bm.group(1)) if bm else 8
+            ncomp = _CS_COMPONENTS.get(cm.group(1), 1) if cm else 1
+            row = -(-(int(wm.group(1)) * bpc * ncomp) // 8)
+            end = data_start + row * int(hm.group(1))
+            if end <= len(content):
+                return end
+    eim = _EI_RE.search(content, data_start)
+    if eim is None:
+        raise ValueError("inline image: ID without a terminating EI")
+    return eim.start()
 
 
 def _extract_inline_images(
-    content: bytes, page_no: int
+    content: bytes, page_no: int, ns: str = ""
 ) -> tuple[bytes, dict[bytes, tuple[str, bytes]]]:
     """Strip ``BI … ID … EI`` inline images from a content stream.
 
@@ -830,46 +869,50 @@ def _extract_inline_images(
     byte sequences (BT/ET/Do) that would corrupt tokenization, so the
     whole segment is replaced by a synthetic ``/__inline_k__ Do`` — the
     normal image pass then places it with the CTM active at that point.
+    ``ns`` keeps refs unique across namespaces (page vs each form).
     Returns (cleaned content, {placeholder name: (media_ref, payload)}).
 
-    Payloads: DCT-coded images pass through as JPEG bytes; other decode
-    chains are attempted via the shared filter pipeline and fall back to
-    the raw bytes (a decorative inline image must never fail the page).
+    A structurally broken inline image (BI without ID/EI) raises — the
+    pre-chunker contract, never binary junk flowing into tokenization.
+    Payloads run the shared filter pipeline exactly like XObjects
+    (chains ending in DCTDecode yield the JPEG bytes); an undecodable
+    chain keeps the raw bytes (a decorative image must not fail the
+    page).
     """
     out: dict[bytes, tuple[str, bytes]] = {}
     cleaned = bytearray()
     pos = 0
     k = 0
     while True:
-        m = _BI_RE.search(content, pos)
+        m = _find_operator(content, pos, b"BI")
         if m is None:
             cleaned += content[pos:]
             break
-        idm = _ID_RE.search(content, m.end())
+        idm = _find_operator(content, m.end(), b"ID")
         if idm is None:
-            cleaned += content[pos:]
-            break
+            raise ValueError("inline image: BI without ID")
         header = content[m.end() : idm.start()]
-        data_start = idm.end()
-        eim = _EI_RE.search(content, data_start)
+        data_start = idm.end() + 1  # exactly one whitespace after ID
+        data_end = _inline_payload_end(content, header, data_start)
+        payload = content[data_start:data_end].rstrip(b"\r\n \t")
+        eim = _EI_RE.search(content, data_end)
         if eim is None:
-            cleaned += content[pos:]
-            break
-        payload = content[data_start : eim.start()].rstrip(b"\r\n \t")
+            raise ValueError("inline image: missing EI after sample data")
         fm = re.search(rb"/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", header)
         names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
         names = [_INLINE_FILTER_ABBREV.get(n, n) for n in names]
-        ext = "jpeg" if b"DCTDecode" in names else "bin"
-        if names and b"DCTDecode" not in names:
+        decoded = True
+        if names:
             try:
                 payload = _apply_filters(
                     b"/Filter [" + b" ".join(b"/" + n for n in names) + b"]",
                     payload,
                 )
             except ValueError:
-                pass  # keep raw bytes; the ref is still placed
-        name = f"__inline_{page_no}_{k}__".encode()
-        ref = f"_page_{page_no}_inline{k}.{ext}"
+                decoded = False  # keep raw bytes; the ref is still placed
+        ext = "jpeg" if decoded and b"DCTDecode" in names else "bin"
+        name = f"__inline_{ns}{page_no}_{k}__".encode()
+        ref = f"_page_{page_no}_{ns}inline{k}.{ext}"
         out[name] = (ref, bytes(payload))
         cleaned += content[pos : m.start()]
         cleaned += b" /" + name + b" Do "
@@ -984,7 +1027,13 @@ def _image_blocks(
                 h = _head(objects[num])
                 if re.search(rb"/Subtype\s*/Image\b", h):
                     ext = "jpeg" if b"/DCTDecode" in h else "bin"
-                    ref = f"_page_{page_no}_{name.decode('latin-1')}.{ext}"
+                    # the object number disambiguates: page and form
+                    # resource dicts can bind the SAME name to different
+                    # images on one page
+                    ref = (
+                        f"_page_{page_no}_{name.decode('latin-1')}"
+                        f"_obj{num}.{ext}"
+                    )
                     place(ref)
                     if ref not in seen_refs:
                         seen_refs.add(ref)
@@ -1084,21 +1133,36 @@ def pdf_to_blocks_and_media(
         # form XObjects: their content contributes text/images at the
         # Do-time CTM — dropping it would be silent text loss.  Only
         # identity/translation placements are in scope (checked above).
+        # A stamp form Do'd many times decodes once (cache per form).
+        form_cache: dict[int, tuple] = {}
         for form_num, ctm in forms:
             fh = _head(objects[form_num])
             fmat = _dict_value(objects, fh, b"Matrix")
             if fmat is not None:
+                # leading-dot forms ('.5', '-.25') must parse — a wrong
+                # magnitude here is exactly the silent misplacement
+                # translation_of exists to prevent
                 vals = [float(v) for v in
-                        re.findall(rb"-?\d+(?:\.\d+)?", _head(fmat))][:6]
+                        re.findall(rb"-?(?:\d+\.?\d*|\.\d+)", _head(fmat))][:6]
                 if vals and vals != _IDENTITY:
                     ctm = _mat_mul(vals, ctm)
             dx, dy = translation_of(ctm)
-            payload = _stream_payload(objects[form_num])
-            if payload is None:
-                raise ValueError(f"form XObject {form_num} without a stream")
-            f_res = _dict_value(objects, fh, b"Resources")
-            f_fonts = _page_fonts(objects, f_res) if f_res is not None else fonts
-            f_content, f_inline = _extract_inline_images(payload, page_no)
+            if form_num in form_cache:
+                f_content, f_inline, f_fonts, f_res = form_cache[form_num]
+            else:
+                payload = _stream_payload(objects[form_num])
+                if payload is None:
+                    raise ValueError(
+                        f"form XObject {form_num} without a stream"
+                    )
+                f_res = _dict_value(objects, fh, b"Resources")
+                f_fonts = (
+                    _page_fonts(objects, f_res) if f_res is not None else fonts
+                )
+                f_content, f_inline = _extract_inline_images(
+                    payload, page_no, ns=f"f{form_num}_"
+                )
+                form_cache[form_num] = (f_content, f_inline, f_fonts, f_res)
             f_text = _blocks_from_stream(f_content, page_no, page_h, f_fonts)
             f_imgs, f_used, f_inline_media, f_forms = _image_blocks(
                 f_content, page_no, page_h,

@@ -279,16 +279,16 @@ def test_pdf_embedded_image_spans_and_payload():
     data = _fixture_bytes("doc_31.pdf")
     blocks, media = pdf_to_blocks_and_media(data)
     img = [b for b in blocks if b.get("media_ref")]
-    assert len(img) == 1 and img[0]["media_ref"] == "_page_0_Im1.jpeg"
-    assert media == [{"media_ref": "_page_0_Im1.jpeg", "payload": FAKE_JPEG}]
+    assert len(img) == 1 and img[0]["media_ref"] == "_page_0_Im1_obj102.jpeg"
+    assert media == [{"media_ref": "_page_0_Im1_obj102.jpeg", "payload": FAKE_JPEG}]
 
     # routed spans carry the ref in the span's media_ref column
     routed = route_file("/x/doc_31.pdf", data)
     refs = [s["media_ref"] for s in routed["spans"] if s["media_ref"]]
-    assert refs == ["_page_0_Im1.jpeg"]
+    assert refs == ["_page_0_Im1_obj102.jpeg"]
 
     rows = file_media_rows("/x/doc_31.pdf", data)
-    assert rows == [{"doc_id": "doc_31", "media_ref": "_page_0_Im1.jpeg",
+    assert rows == [{"doc_id": "doc_31", "media_ref": "_page_0_Im1_obj102.jpeg",
                      "payload": FAKE_JPEG}]
     # docx embedded media surfaces too (word/media/figure1.png)
     drows = file_media_rows("/x/doc_1.docx", _fixture_bytes("doc_1.docx"))
@@ -311,7 +311,7 @@ def test_image_payloads_land_on_disk_via_k2_sink(spark, tmp_path):
     out = str(tmp_path / "img")
     n = export_image_payloads(media, out)
     assert n == 1
-    with open(os.path.join(out, "doc_31", "_page_0_Im1.jpeg"), "rb") as fh:
+    with open(os.path.join(out, "doc_31", "_page_0_Im1_obj102.jpeg"), "rb") as fh:
         assert fh.read() == FAKE_JPEG
 
 
@@ -324,7 +324,7 @@ def test_image_pdf_extracts_interleaved_image_span(spark):
         ((r["offset"], r["kind"], r["media_ref"]) for r in extracted.collect())
     )
     assert rows[0][1] == "heading"
-    assert rows[1][1:] == ("image", "_page_0_Im1.jpeg")
+    assert rows[1][1:] == ("image", "_page_0_Im1_obj102.jpeg")
     assert metrics.filter(F.col("n_images") != 1).count() == 0
 
 
@@ -706,7 +706,7 @@ def test_pdf_inline_images_strip_and_place():
     corrupt text tokenization."""
     from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
 
-    fake = b"\x00BT (junk) Tj ET\xff\xfe EI-not-really \x01\x02"
+    fake = (b"\x00BT (junk) Tj ET\xff\xfe EI \x01\x02" * 8)[:192]  # 8*8 RGB
     content = (
         b"BT /F1 12 Tf 50 700 Td (before) Tj ET\n"
         b"q 64 0 0 48 100 500 cm BI /W 8 /H 8 /BPC 8 /CS /RGB ID "
