@@ -37,8 +37,11 @@ Supported (all from scratch):
   tables are transparently irrelevant)
 
 Stream filters: FlateDecode, LZWDecode (TIFF-style variable-width codes,
-EarlyChange=1), ASCIIHexDecode, ASCII85Decode — singly or chained via a
-/Filter array; DCTDecode/JPXDecode image payloads pass through raw.
+EarlyChange=1), ASCIIHexDecode, ASCII85Decode, RunLengthDecode — singly
+or chained via a /Filter array, with PNG row predictors
+(Sub/Up/Average/Paeth, /Predictor ≥ 10) and TIFF horizontal
+(/Predictor 2) reversed after Flate/LZW; DCTDecode/JPXDecode image
+payloads pass through raw.
 
 Inline images (BI…ID…EI) are stripped before tokenization (their binary
 payloads can contain accidental operator bytes) and re-enter as
@@ -49,9 +52,9 @@ in-place; scaled/rotated/nested forms raise (exact placement can't be
 reproduced, and silent misplacement is worse than the pre-chunker).
 
 Scope (honest): non-encrypted PDFs; no CID encodings beyond Identity-H,
-no PNG predictors, no RunLength/CCITT filters.  Anything outside the
-subset raises ValueError and the ingestion bridge keeps the
-``needs_prechunk`` contract for it.
+no CCITTFax/JBIG2/JPX decoding (JPX payloads pass through raw).
+Anything outside the subset raises ValueError and the ingestion bridge
+keeps the ``needs_prechunk`` contract for it.
 
 Coordinates: PDF user space is bottom-up; blocks are converted to the
 top-down convention the layout kernel uses (y0 = page_height − top).
@@ -223,6 +226,82 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte 0-127 copies the
+    next length+1 bytes; 129-255 repeats the next byte 257-length times;
+    128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            chunk = data[i + 1 : i + 2 + n]
+            if len(chunk) < n + 1:
+                raise ValueError("RunLengthDecode: truncated literal run")
+            out += chunk
+            i += 2 + n
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("RunLengthDecode: truncated repeat run")
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, predictor: int, columns: int,
+                   colors: int, bpc: int) -> bytes:
+    """Reverse PNG row predictors (Sub/Up/Average/Paeth, per-row tagged)
+    for /Predictor >= 10; /Predictor 2 (TIFF horizontal) for byte-wide
+    samples."""
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = -(-(columns * colors * bpc) // 8)
+    if predictor == 2:
+        if bpc != 8:
+            raise ValueError("TIFF predictor with bpc != 8 unsupported")
+        out = bytearray(data)
+        for r in range(0, len(out) - row_len + 1, row_len):
+            for i in range(bpp, row_len):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 <= len(data) - 1:
+        tag = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        if len(row) < row_len:
+            raise ValueError("PNG predictor: truncated row")
+        pos += 1 + row_len
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG predictor: unknown row tag {tag}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _ascii85_decode(data: bytes) -> bytes:
     """ASCII85Decode (`<~`-less PDF form, terminated by ``~>``)."""
     end = data.find(b"~>")
@@ -260,16 +339,31 @@ def _apply_filters(head: bytes, data: bytes) -> bytes:
         return data
     names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
     pm = re.search(rb"/Predictor\s+(\d+)", head)
-    if pm and int(pm.group(1)) > 1:
-        raise ValueError(f"unsupported stream predictor {int(pm.group(1))}")
+    predictor = int(pm.group(1)) if pm else 1
+
+    def unpredict(decoded: bytes) -> bytes:
+        if predictor <= 1:
+            return decoded
+        cm = re.search(rb"/Columns\s+(\d+)", head)
+        km = re.search(rb"/Colors\s+(\d+)", head)
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+        return _png_unpredict(
+            decoded, predictor,
+            int(cm.group(1)) if cm else 1,
+            int(km.group(1)) if km else 1,
+            int(bm.group(1)) if bm else 8,
+        )
+
     for name in names:
         if name == b"FlateDecode":
             try:
-                data = zlib.decompress(data)
+                data = unpredict(zlib.decompress(data))
             except zlib.error as exc:
                 raise ValueError(f"broken FlateDecode stream: {exc}") from exc
         elif name == b"LZWDecode":
-            data = _lzw_decode(data)
+            data = unpredict(_lzw_decode(data))
+        elif name == b"RunLengthDecode":
+            data = _runlength_decode(data)
         elif name == b"ASCIIHexDecode":
             hexpart = data.split(b">", 1)[0]
             hexpart = re.sub(rb"\s+", b"", hexpart)

@@ -635,13 +635,54 @@ def test_pdf_stream_filters():
     blocks = pdf_to_blocks(pdf)
     assert [b["text"] for b in blocks] == ["filters ok"]
 
-    # predictors and unknown filters keep the pre-chunker contract
+    # RunLengthDecode: literal run + repeat run + EOD
+    assert _apply_filters(
+        b"<< /Filter /RunLengthDecode >>", b"\x02ABC\xfeZ\x80ignored"
+    ) == b"ABCZZZ"
+
+    # PNG predictors: forward-encode rows with mixed tags, then decode
+    def png_predict(rows, bpp):
+        import struct as _s
+        prev = bytes(len(rows[0]))
+        out = b""
+        for tag, row in zip((0, 1, 2, 4), rows):
+            enc = bytearray(row)
+            if tag == 1:
+                for i in range(len(row) - 1, bpp - 1, -1):
+                    enc[i] = (row[i] - row[i - bpp]) & 0xFF
+            elif tag == 2:
+                for i in range(len(row)):
+                    enc[i] = (row[i] - prev[i]) & 0xFF
+            elif tag == 4:
+                for i in range(len(row)):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    enc[i] = (row[i] - pred) & 0xFF
+            out += bytes([tag]) + bytes(enc)
+            prev = row
+        return out
+
+    import random as _rng2
+
+    r = _rng2.Random(5)
+    rows = [bytes(r.randrange(256) for _ in range(12)) for _ in range(4)]
+    encoded = zlib.compress(png_predict(rows, bpp=3))
+    got = _apply_filters(
+        b"<< /Filter /FlateDecode /Predictor 12 /Columns 4 /Colors 3 "
+        b"/BitsPerComponent 8 >>", encoded,
+    )
+    assert got == b"".join(rows)
+
+    # unknown filters keep the pre-chunker contract
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="predictor"):
-        _apply_filters(b"<< /Filter /FlateDecode /Predictor 12 >>", b"x")
     with _pytest.raises(ValueError, match="unsupported stream filter"):
-        _apply_filters(b"<< /Filter /RunLengthDecode >>", b"x")
+        _apply_filters(b"<< /Filter /CCITTFaxDecode >>", b"x")
 
 
 def _mini_pdf(extra_objs: bytes, page_extra: bytes, content: bytes) -> bytes:
