@@ -255,20 +255,26 @@ def _png_unpredict(data: bytes, predictor: int, columns: int,
     """Reverse PNG row predictors (Sub/Up/Average/Paeth, per-row tagged)
     for /Predictor >= 10; /Predictor 2 (TIFF horizontal) for byte-wide
     samples."""
+    if predictor != 2 and not 10 <= predictor <= 15:
+        # out-of-spec values (3-9, 16+) must hit the pre-chunker, never
+        # decode "as if PNG" into silent garbage
+        raise ValueError(f"invalid stream /Predictor {predictor}")
     bpp = max(1, (colors * bpc) // 8)
     row_len = -(-(columns * colors * bpc) // 8)
     if predictor == 2:
         if bpc != 8:
             raise ValueError("TIFF predictor with bpc != 8 unsupported")
+        if len(data) % row_len:
+            raise ValueError("TIFF predictor: truncated row")
         out = bytearray(data)
-        for r in range(0, len(out) - row_len + 1, row_len):
+        for r in range(0, len(out), row_len):
             for i in range(bpp, row_len):
                 out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
         return bytes(out)
     out = bytearray()
     prev = bytearray(row_len)
     pos = 0
-    while pos + 1 <= len(data) - 1:
+    while pos < len(data):
         tag = data[pos]
         row = bytearray(data[pos + 1 : pos + 1 + row_len])
         if len(row) < row_len:
@@ -332,14 +338,28 @@ def _ascii85_decode(data: bytes) -> bytes:
 def _apply_filters(head: bytes, data: bytes) -> bytes:
     """Run the object's /Filter pipeline (a single name or an array, in
     order).  DCTDecode/JPXDecode stay raw (image payloads pass through);
-    unknown filters and PNG predictors raise — the pre-chunker contract,
-    never silent garbage."""
+    PNG/TIFF predictors reverse after the (single) Flate/LZW stage;
+    unknown filters, invalid predictor values, predictors without a
+    decompression stage, and predictor chains with multiple Flate/LZW
+    stages (per-stage /DecodeParms alignment is out of scope) all raise
+    — the pre-chunker contract, never silent garbage."""
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
     if fm is None:
         return data
     names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
     pm = re.search(rb"/Predictor\s+(\d+)", head)
     predictor = int(pm.group(1)) if pm else 1
+    if predictor > 1:
+        n_decomp = sum(1 for n in names if n in (b"FlateDecode", b"LZWDecode"))
+        if n_decomp == 0:
+            raise ValueError(
+                "/Predictor declared without a Flate/LZW stage to apply it"
+            )
+        if n_decomp > 1:
+            raise ValueError(
+                "/Predictor with multiple decompression stages — per-stage "
+                "/DecodeParms alignment unsupported"
+            )
 
     def unpredict(decoded: bytes) -> bytes:
         if predictor <= 1:

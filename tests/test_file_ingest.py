@@ -642,10 +642,9 @@ def test_pdf_stream_filters():
 
     # PNG predictors: forward-encode rows with mixed tags, then decode
     def png_predict(rows, bpp):
-        import struct as _s
         prev = bytes(len(rows[0]))
         out = b""
-        for tag, row in zip((0, 1, 2, 4), rows):
+        for tag, row in zip((0, 1, 2, 3, 4), rows):
             enc = bytearray(row)
             if tag == 1:
                 for i in range(len(row) - 1, bpp - 1, -1):
@@ -653,6 +652,10 @@ def test_pdf_stream_filters():
             elif tag == 2:
                 for i in range(len(row)):
                     enc[i] = (row[i] - prev[i]) & 0xFF
+            elif tag == 3:
+                for i in range(len(row)):
+                    left = row[i - bpp] if i >= bpp else 0
+                    enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
             elif tag == 4:
                 for i in range(len(row)):
                     a = row[i - bpp] if i >= bpp else 0
@@ -670,7 +673,7 @@ def test_pdf_stream_filters():
     import random as _rng2
 
     r = _rng2.Random(5)
-    rows = [bytes(r.randrange(256) for _ in range(12)) for _ in range(4)]
+    rows = [bytes(r.randrange(256) for _ in range(12)) for _ in range(5)]
     encoded = zlib.compress(png_predict(rows, bpp=3))
     got = _apply_filters(
         b"<< /Filter /FlateDecode /Predictor 12 /Columns 4 /Colors 3 "
@@ -678,11 +681,26 @@ def test_pdf_stream_filters():
     )
     assert got == b"".join(rows)
 
-    # unknown filters keep the pre-chunker contract
+    # unknown filters / out-of-spec predictors keep the pre-chunker
+    # contract, and truncation is never silent
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported stream filter"):
         _apply_filters(b"<< /Filter /CCITTFaxDecode >>", b"x")
+    with _pytest.raises(ValueError, match="invalid stream /Predictor"):
+        _apply_filters(b"<< /Filter /FlateDecode /Predictor 5 /Columns 4 >>",
+                       zlib.compress(bytes(8)))
+    with _pytest.raises(ValueError, match="without a Flate/LZW stage"):
+        _apply_filters(b"<< /Filter /RunLengthDecode /Predictor 12 >>",
+                       b"\x02ABC\x80")
+    with _pytest.raises(ValueError, match="multiple decompression"):
+        _apply_filters(
+            b"<< /Filter [/FlateDecode /LZWDecode] /Predictor 12 >>", b"x")
+    # lone trailing row-tag byte = truncation, not silent drop
+    with _pytest.raises(ValueError, match="truncated row"):
+        _apply_filters(
+            b"<< /Filter /FlateDecode /Predictor 12 /Columns 4 >>",
+            zlib.compress(b"\x00ABCD\x00"))
 
 
 def _mini_pdf(extra_objs: bytes, page_extra: bytes, content: bytes) -> bytes:
