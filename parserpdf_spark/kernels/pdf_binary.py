@@ -168,7 +168,7 @@ def _inline_objstm(objects: dict[int, bytes]) -> None:
             continue
         nm = re.search(rb"/N\s+(\d+)", h)
         fm = re.search(rb"/First\s+(\d+)", h)
-        payload = _stream_payload(body)
+        payload = _stream_payload(body, objects)
         if nm is None or fm is None or payload is None:
             raise ValueError("malformed object stream (/N, /First, or data)")
         n, first = int(nm.group(1)), int(fm.group(1))
@@ -402,18 +402,32 @@ def _apply_filters(head: bytes, data: bytes) -> bytes:
     return data
 
 
-def _stream_payload(body: bytes) -> bytes | None:
+def _stream_payload(
+    body: bytes, objects: dict[int, bytes] | None = None
+) -> bytes | None:
     """Stream payload of one object.  Sized by /Length when present —
     compressed bytes can contain ``endstream``/``endobj`` sequences, so
-    delimiter scanning alone silently truncates (observed)."""
+    delimiter scanning alone silently truncates (observed).
+
+    An INDIRECT ``/Length N 0 R`` must not match the direct pattern
+    (the object number would masquerade as a byte count and truncate
+    the stream); it resolves through ``objects`` when provided, else
+    falls back to the delimiter scan."""
     sm = re.search(rb"stream\r?\n", body)
     if sm is None:
         return None
     head = body[: sm.start()]
-    lm = re.search(rb"/Length\s+(\d+)", head)
-    if lm:
-        data = body[sm.end() : sm.end() + int(lm.group(1))]
-    else:  # indirect /Length: fall back to the delimiter scan
+    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+    length: int | None = int(lm.group(1)) if lm else None
+    if length is None and objects is not None:
+        im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+        if im and int(im.group(1)) in objects:
+            nm = re.search(rb"\d+", _head(objects[int(im.group(1))]))
+            if nm:
+                length = int(nm.group(0))
+    if length is not None:
+        data = body[sm.end() : sm.end() + length]
+    else:  # unresolvable /Length: fall back to the delimiter scan
         end = body.find(b"endstream", sm.end())
         if end < 0:
             return None
@@ -529,7 +543,7 @@ def _content_stream(objects: dict[int, bytes], page_head: bytes, num: int) -> by
         body = objects.get(direct)
         if body is None:
             raise ValueError(f"page {num}: unresolvable /Contents {direct}")
-        payload = _stream_payload(body)
+        payload = _stream_payload(body, objects)
         if payload is not None:
             return payload
         # indirect ref to an array object
@@ -540,7 +554,7 @@ def _content_stream(objects: dict[int, bytes], page_head: bytes, num: int) -> by
     parts: list[bytes] = []
     for r in refs:
         body = objects.get(r)
-        payload = _stream_payload(body) if body is not None else None
+        payload = _stream_payload(body, objects) if body is not None else None
         if payload is None:
             raise ValueError(f"page {num}: unresolvable content stream {r}")
         parts.append(payload)
@@ -709,7 +723,7 @@ def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
         f.widths = _parse_w_array(_head(w_src)) if w_src is not None else {}
         tu = _ref(h, b"ToUnicode")
         if tu is not None and tu in objects:
-            payload = _stream_payload(objects[tu])
+            payload = _stream_payload(objects[tu], objects)
             if payload:
                 f.to_unicode = _parse_tounicode(payload)
         return f
@@ -993,6 +1007,8 @@ def _extract_inline_images(
     chain keeps the raw bytes (a decorative image must not fail the
     page).
     """
+    if b"BI" not in content:  # cheap bytes scan skips the token pass
+        return content, {}
     out: dict[bytes, tuple[str, bytes]] = {}
     cleaned = bytearray()
     pos = 0
@@ -1264,7 +1280,7 @@ def pdf_to_blocks_and_media(
             if form_num in form_cache:
                 f_content, f_inline, f_fonts, f_res = form_cache[form_num]
             else:
-                payload = _stream_payload(objects[form_num])
+                payload = _stream_payload(objects[form_num], objects)
                 if payload is None:
                     raise ValueError(
                         f"form XObject {form_num} without a stream"

@@ -782,3 +782,24 @@ def test_pdf_inline_images_strip_and_place():
     assert imgs[0]["bbox"] == [100.0, 294.0, 164.0, 342.0]
     assert media[0]["media_ref"] == "_page_0_inline0.bin"
     assert media[0]["payload"].startswith(b"\x00BT")
+
+
+def test_pdf_indirect_length_resolves():
+    """An INDIRECT /Length (e.g. '/Length 7 0 R') must resolve through
+    the object table — the object NUMBER must never masquerade as a
+    byte count and truncate the stream."""
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    content = b"BT /F1 12 Tf 50 700 Td (indirect length ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 842] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 7 0 R >>\nstream\n" + content
+        + b"\nendstream endobj\n"
+        b"7 0 obj " + str(len(content)).encode() + b" endobj\n"
+    )
+    blocks = pdf_to_blocks(pdf)
+    assert [b["text"] for b in blocks] == ["indirect length ok"]
