@@ -37,6 +37,11 @@ def _split_blocks(text: str) -> list[str]:
     in_fence = False
     for line in text.split("\n"):
         if line.lstrip().startswith("```"):
+            if not in_fence and cur:
+                # CommonMark: a fence needs no preceding blank line —
+                # flush the paragraph so code never glues into prose
+                blocks.append("\n".join(cur))
+                cur = []
             cur.append(line)
             if in_fence:  # closing fence ends the block
                 blocks.append("\n".join(cur))

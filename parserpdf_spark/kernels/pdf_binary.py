@@ -417,7 +417,10 @@ def _stream_payload(
     if sm is None:
         return None
     head = body[: sm.start()]
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+    # (?!\d) pins the full number: without it, backtracking shrinks a
+    # multi-digit object ref ('/Length 10 0 R' → length 1) past the
+    # indirect-ref lookahead
+    lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
     length: int | None = int(lm.group(1)) if lm else None
     if length is None and objects is not None:
         im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
@@ -961,14 +964,19 @@ def _find_operator(content: bytes, start: int, word: bytes):
     return None
 
 
-def _inline_payload_end(content: bytes, header: bytes, data_start: int) -> int:
-    """End offset (exclusive) of an inline image's sample data.
+def _inline_payload_end(
+    content: bytes, header: bytes, data_start: int
+) -> tuple[int, bool]:
+    """(end offset (exclusive), exact) of an inline image's sample data.
 
     Uncompressed images have an exactly computable length
     (ceil(W*bpc*components/8)*H), so accidental ' EI ' bytes inside raw
     samples can't truncate them; filtered payloads fall back to the
     whitespace-delimited EI scan (the industry-standard heuristic — the
-    format provides nothing better without decoding)."""
+    format provides nothing better without decoding).  ``exact`` tells
+    the caller whether trailing-whitespace stripping is safe (only on
+    the scan path — exact-length samples may legitimately END in
+    whitespace-valued bytes)."""
     has_filter = re.search(rb"/(?:F|Filter)\b", header) is not None
     if not has_filter:
         wm = re.search(rb"/(?:W|Width)\s+(\d+)", header)
@@ -981,11 +989,11 @@ def _inline_payload_end(content: bytes, header: bytes, data_start: int) -> int:
             row = -(-(int(wm.group(1)) * bpc * ncomp) // 8)
             end = data_start + row * int(hm.group(1))
             if end <= len(content):
-                return end
+                return end, True
     eim = _EI_RE.search(content, data_start)
     if eim is None:
         raise ValueError("inline image: ID without a terminating EI")
-    return eim.start()
+    return eim.start(), False
 
 
 def _extract_inline_images(
@@ -1023,19 +1031,26 @@ def _extract_inline_images(
             raise ValueError("inline image: BI without ID")
         header = content[m.end() : idm.start()]
         data_start = idm.end() + 1  # exactly one whitespace after ID
-        data_end = _inline_payload_end(content, header, data_start)
-        payload = content[data_start:data_end].rstrip(b"\r\n \t")
+        data_end, exact = _inline_payload_end(content, header, data_start)
+        payload = content[data_start:data_end]
+        if not exact:  # EI-scan path: drop the separator before EI only
+            payload = payload.rstrip(b"\r\n \t")
         eim = _EI_RE.search(content, data_end)
         if eim is None:
             raise ValueError("inline image: missing EI after sample data")
         fm = re.search(rb"/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", header)
         names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
         names = [_INLINE_FILTER_ABBREV.get(n, n) for n in names]
+        # forward /DP (DecodeParms) so predictor-coded inline samples
+        # decode correctly instead of keeping their PNG row tags
+        dp = re.search(rb"/(?:DP|DecodeParms)\s*<<(.*?)>>", header, re.S)
+        dp_inner = b" " + dp.group(1) if dp else b""
         decoded = True
         if names:
             try:
                 payload = _apply_filters(
-                    b"/Filter [" + b" ".join(b"/" + n for n in names) + b"]",
+                    b"/Filter [" + b" ".join(b"/" + n for n in names) + b"]"
+                    + dp_inner,
                     payload,
                 )
             except ValueError:
@@ -1175,23 +1190,11 @@ def _image_blocks(
 
 
 def _image_payload(objects: dict[int, bytes], num: int) -> bytes:
-    """Raw image bytes: DCTDecode payloads pass through as the JPEG
-    itself; FlateDecode streams decompress to raw samples; bare streams
-    pass through."""
-    body = objects[num]
-    sm = re.search(rb"stream\r?\n", body)
-    if sm is None:
-        return b""
-    head = body[: sm.start()]
-    lm = re.search(rb"/Length\s+(\d+)", head)
-    if lm:
-        data = body[sm.end() : sm.end() + int(lm.group(1))]
-    else:
-        end = body.find(b"endstream", sm.end())
-        data = body[sm.end() : end].rstrip(b"\r\n") if end >= 0 else b""
-    # shared filter pipeline: DCTDecode/JPXDecode payloads pass through
-    # byte-for-byte, everything else decodes
-    return _apply_filters(head, data)
+    """Raw image bytes via the one shared stream reader: DCTDecode
+    payloads pass through as the JPEG itself, other filters decode, and
+    indirect /Length refs resolve (a duplicated reader here once
+    truncated such payloads to the object number)."""
+    return _stream_payload(objects[num], objects) or b""
 
 
 # ---------------------------------------------------------------------------

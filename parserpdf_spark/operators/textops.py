@@ -299,17 +299,23 @@ def remove_repeated_lines(
     docs: DataFrame, text_col: str = "text", sep: str = "\n"
 ) -> DataFrame:
     """(doc_id, text_dedup, n_lines, n_removed): drop line i when an
-    identical line occurred earlier in the same document
+    identical NON-BLANK line occurred earlier in the same document
     (``array_position(lines, line) == own index`` keeps exactly the
-    first copy).  O(lines²) per document but JVM-side and array-local —
-    documents are KB-scale; nothing shuffles.
+    first copy).  Blank/whitespace-only lines are exempt — they are
+    paragraph separators, not boilerplate, and deduping them would
+    collapse every paragraph break after the first.  O(lines²) per
+    document but JVM-side and array-local — documents are KB-scale;
+    nothing shuffles.
 
     ``sep`` is treated as a LITERAL separator on both sides (split's
     pattern argument is a regex, so it is \\Q…\\E-quoted here — a caller
     passing '|' or '.' gets literal behavior, not regex explosion)."""
     lines = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     kept = F.filter(
-        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1).cast("bigint")
+        lines,
+        lambda x, i: (F.trim(x) == "") | (
+            F.array_position(lines, x) == i + F.lit(1).cast("bigint")
+        ),
     )
     return docs.select(
         "doc_id",

@@ -108,7 +108,8 @@ def _next_record(
         return None, pos
     record = {
         "headers": headers,
-        "body": buf[head_end + 4 : head_end + 4 + length],
+        # bytes() matters: the caller's buffer may be a bytearray
+        "body": bytes(buf[head_end + 4 : head_end + 4 + length]),
     }
     return record, head_end + 4 + length
 
@@ -130,17 +131,20 @@ def iter_warc_records(
         chunks: Iterator[bytes] = _iter_inflated(data, out_chunk)
     else:
         chunks = iter((data,))
-    buf, pos = b"", 0
+    # bytearray append + deferred compaction: rebuilding the buffer per
+    # chunk while a large record is still incomplete would cost
+    # O(record²/chunk) byte copies
+    buf, pos = bytearray(), 0
     for chunk in chunks:
-        buf = buf[pos:] + chunk  # drop consumed bytes before growing
-        pos = 0
+        buf += chunk
         while True:
             rec, pos = _next_record(buf, pos, final=False)
             if rec is None:
                 break
             yield rec
-    buf = buf[pos:]
-    pos = 0
+        if pos > out_chunk:  # drop consumed bytes once they amortize
+            del buf[:pos]
+            pos = 0
     while True:
         rec, pos = _next_record(buf, pos, final=True)
         if rec is None:

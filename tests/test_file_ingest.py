@@ -797,9 +797,57 @@ def test_pdf_indirect_length_resolves():
         b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
         b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 842] "
         b"/Contents 4 0 R >> endobj\n"
-        b"4 0 obj << /Length 7 0 R >>\nstream\n" + content
+        b"4 0 obj << /Length 10 0 R >>\nstream\n" + content
         + b"\nendstream endobj\n"
-        b"7 0 obj " + str(len(content)).encode() + b" endobj\n"
+        b"10 0 obj " + str(len(content)).encode() + b" endobj\n"
     )
+    # MULTI-digit ref: regex backtracking once shrank '10' to length 1
     blocks = pdf_to_blocks(pdf)
     assert [b["text"] for b in blocks] == ["indirect length ok"]
+
+
+def test_md_fence_without_blank_line():
+    """CommonMark: a fence needs no preceding blank line — the code
+    block must split off, never word-join into the paragraph."""
+    from parserpdf_spark.kernels.md_extract import markdown_to_spans
+
+    spans = markdown_to_spans("Intro line\n```\ncode = 1\n```")
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("para", "Intro line"), ("code", "code = 1"),
+    ]
+
+
+def test_inline_image_exact_length_keeps_whitespace_tail():
+    """Exact-length inline samples ending in whitespace-valued bytes
+    (0x20/0x0A) keep every byte; predictor DecodeParms forward into the
+    decode so samples come out un-tagged."""
+    import zlib as _z
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
+
+    # 4x2 grayscale whose samples end in 0x20 0x0A — rstrip would eat them
+    samples = b"\x01\x02\x03 \x05\x06 \x0a"
+    content = (
+        b"BT /F1 12 Tf 50 700 Td (t) Tj ET\n"
+        b"q 4 0 0 2 10 10 cm BI /W 4 /H 2 /BPC 8 /CS /G ID "
+        + samples + b" EI Q"
+    )
+    _, media = pdf_to_blocks_and_media(_mini_pdf(b"", b"", content))
+    assert media[0]["payload"] == samples
+
+    # predictor-coded Flate inline image decodes via forwarded /DP
+    rows = [b"\x10\x20\x30\x40", b"\x11\x22\x33\x44"]
+    enc = b""
+    prev = bytes(4)
+    for row in rows:  # PNG Up rows
+        enc += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(4))
+        prev = row
+    payload = _z.compress(enc)
+    content2 = (
+        b"BT /F1 12 Tf 50 700 Td (t) Tj ET\n"
+        b"q 4 0 0 2 10 10 cm BI /W 4 /H 2 /BPC 8 /CS /G /F /Fl "
+        b"/DP << /Predictor 12 /Columns 4 >> ID "
+        + payload + b" EI Q"
+    )
+    _, media2 = pdf_to_blocks_and_media(_mini_pdf(b"", b"", content2))
+    assert media2[0]["payload"] == b"".join(rows)

@@ -558,10 +558,12 @@ def test_remove_repeated_lines_matches_duckdb(spark, tmp_path):
     want = con.execute(f"""
         SELECT doc_id,
                array_to_string(
-                 list_filter(l, (x, i) -> list_position(l, x) = i),
+                 list_filter(l, (x, i) -> trim(x) = '' OR
+                                          list_position(l, x) = i),
                  chr(10)) AS text_dedup,
                len(l) AS n_lines,
-               len(l) - len(list_filter(l, (x, i) -> list_position(l, x) = i))
+               len(l) - len(list_filter(l, (x, i) -> trim(x) = '' OR
+                                          list_position(l, x) = i))
                  AS n_removed
         FROM (SELECT doc_id, string_split(text, chr(10)) AS l
               FROM read_parquet('{p}'))
@@ -610,6 +612,13 @@ def test_remove_repeated_lines_literal_separator(spark):
     row = remove_repeated_lines(df, sep="|").collect()[0]
     assert row["text_dedup"] == "a|b|c"
     assert row["n_lines"] == 4 and row["n_removed"] == 1
+    # blank lines are paragraph separators, never deduped
+    df2 = spark.createDataFrame(
+        [(1, "p1\n\np2\n\np3")], "doc_id long, text string"
+    )
+    row2 = remove_repeated_lines(df2).collect()[0]
+    assert row2["text_dedup"] == "p1\n\np2\n\np3"
+    assert row2["n_removed"] == 0
 
 
 def test_connected_components_converging_at_last_round_ok(spark):
