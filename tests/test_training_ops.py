@@ -792,3 +792,65 @@ def test_curate_job_default_fraction_and_empty_run(spark, tmp_path, sf_med):
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["n_docs_written"] == 0 and report["n_shards"] == 0
     assert report["total_tokens"] == 0
+
+
+def test_bmp_codec_roundtrip_and_subset_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from parserpdf_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for shape in ((1, 1, 3), (13, 17, 3), (32, 5, 3)):  # odd widths → padding
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, back = decode_bmp(encode_bmp(img))
+        assert (w, h) == (shape[1], shape[0])
+        assert (back == img).all()
+    with _pytest.raises(ValueError, match="missing BM magic"):
+        decode_bmp(b"\x89PNG" + bytes(64))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))[:-8])
+
+
+def test_real_bmp_decode_features_end_to_end(spark, sf_med):
+    """REAL image decode on Spark: deterministic BMPs per doc decode to
+    genuine pixel statistics; a corrupt payload keeps its status row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parserpdf_spark.operators.multimodal import (
+        attach_bmp_payloads,
+        decode_features_real,
+    )
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet").select("doc_id")
+    media = attach_bmp_payloads(docs)
+    feats = decode_features_real(media).persist()
+    n = docs.count()
+    assert feats.filter(~F.col("decode_ok")).count() == 0
+    assert feats.count() == n
+    # dimensions follow the deterministic generator exactly
+    bad_dims = feats.filter(
+        (F.col("width") != 16 + F.col("doc_id").cast("long") % 17)
+        | (F.col("height") != 12 + F.col("doc_id").cast("long") % 11)
+    ).count()
+    assert bad_dims == 0
+    # features are genuine pixel means: recompute one doc's image locally
+    row = feats.filter(F.col("doc_id") == "7").collect()[0]
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(12 + 7 % 11, 16 + 7 % 17, 3),
+                       dtype=np.uint8)
+    means = img.reshape(-1, 3).mean(axis=0)
+    assert row["mean_r"] == round(float(means[0]), 6)
+    assert row["brightness_millis"] == int(float(means.mean()) * 1000 / 255)
+    feats.unpersist()
+
+    # keep-with-status: corrupt payloads never fail the task
+    corrupt = media.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == "3", F.lit(b"not an image")).otherwise(
+            F.col("payload")
+        ),
+    )
+    bad = decode_features_real(corrupt).filter(~F.col("decode_ok"))
+    assert [r["doc_id"] for r in bad.collect()] == ["3"]
