@@ -260,3 +260,132 @@ def decode_features_real(media: DataFrame) -> DataFrame:
                "width int, height int, mean_r double, mean_g double, "
                "mean_b double, brightness_millis long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decode tier, audio: from-scratch WAV/PCM codec (stdlib + numpy)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """1-D int16 array → mono 16-bit PCM RIFF/WAVE bytes."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim != 1:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+        sample_rate * 2, 2, 16,
+    )
+    body = fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def decode_wav(payload: bytes):
+    """Mono 16-bit PCM RIFF/WAVE bytes → (sample_rate, int16 array).
+
+    Walks the chunk list (fmt /data may be preceded by LIST/INFO etc.);
+    anything outside the mono-16-bit-PCM subset raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE header)")
+    pos = 12
+    rate = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV ({audio_fmt=} {channels=} {bits=}) — "
+                    "mono 16-bit PCM only"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body[: size & ~1], dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV without fmt/data chunks")
+    return rate, samples
+
+
+def attach_wav_payloads(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic REAL audio: one short mono PCM clip per doc,
+    samples seeded from doc_id (PCG64 noise) — byte-stable every run."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_ref": [], "payload": [],
+                    "n_bytes": [], "magic": []}
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id) + 10**9)
+                n = 800 + int(doc_id) % 801  # 50-100 ms at 16 kHz
+                clip = rng.integers(-20000, 20000, size=n, dtype=np.int16)
+                payload = encode_wav(clip, sample_rate)
+                rows["doc_id"].append(str(doc_id))
+                rows["media_ref"].append(f"clip_{doc_id}.wav")
+                rows["payload"].append(payload)
+                rows["n_bytes"].append(len(payload))
+                rows["magic"].append(payload[:4].hex().upper())
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_DDL)
+
+
+def decode_audio_features_real(media: DataFrame) -> DataFrame:
+    """REAL audio decode + features: WAV payloads → duration, RMS, peak
+    — keep-with-status per row, same Arrow-batched shape as the image
+    tier."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "decode_ok": [],
+                   "sample_rate": [], "n_samples": [], "duration_millis": [],
+                   "rms_millis": [], "peak": []}
+            for doc_id, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                try:
+                    rate, samples = decode_wav(bytes(payload))
+                except ValueError:
+                    out["decode_ok"].append(False)
+                    for k in ("sample_rate", "n_samples", "duration_millis",
+                              "rms_millis", "peak"):
+                        out[k].append(None)
+                    continue
+                x = samples.astype(np.float64) / 32768.0
+                out["decode_ok"].append(True)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_millis"].append(len(samples) * 1000 // rate)
+                out["rms_millis"].append(
+                    int(float(np.sqrt((x * x).mean())) * 1000) if len(x)
+                    else 0
+                )
+                out["peak"].append(int(np.abs(samples).max()) if len(x) else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id string, media_ref string, decode_ok boolean, "
+               "sample_rate int, n_samples int, duration_millis long, "
+               "rms_millis long, peak int",
+    )
