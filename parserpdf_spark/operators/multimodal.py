@@ -389,3 +389,150 @@ def decode_audio_features_real(media: DataFrame) -> DataFrame:
                "sample_rate int, n_samples int, duration_millis long, "
                "rms_millis long, peak int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decode tier, video: minimal uncompressed AVI (RIFF) frame container
+# ---------------------------------------------------------------------------
+
+def encode_avi_frames(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """List of HxWx3 uint8 RGB frames → minimal RIFF/AVI bytes with raw
+    BGR '00db' frame chunks inside the 'movi' LIST (the uncompressed
+    DIB layout; just enough structure for the frame sampler)."""
+    import struct
+
+    import numpy as np
+
+    chunks = b""
+    for fr in frames:
+        arr = np.asarray(fr, dtype=np.uint8)
+        if arr.shape != (height, width, 3):
+            raise ValueError("frame shape mismatch")
+        raw = arr[::-1, :, ::-1].tobytes()  # bottom-up BGR like DIB
+        chunks += struct.pack("<4sI", b"00db", len(raw)) + raw
+        if len(raw) % 2:
+            chunks += b"\x00"
+    movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+    # avih main header: us/frame, 0, 0, flags, total frames, 0, streams,
+    # 0, width, height + 4 reserved
+    avih = struct.pack(
+        "<4sI14I", b"avih", 56, 1_000_000 // fps, 0, 0, 0, len(frames),
+        0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes):
+    """Minimal AVI bytes → (width, height, [HxWx3 uint8 RGB frames]).
+
+    Walks the RIFF tree for the avih header (dimensions) and the movi
+    LIST's '00db' raw-DIB chunks; anything else raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI header)")
+    width = height = None
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", data, pos)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<14I", data, body_start)
+                width, height = vals[8], vals[9]
+            elif cid == b"00db":
+                if width is None or height is None:
+                    raise ValueError("frame chunk before avih header")
+                need = width * height * 3
+                if size < need:
+                    raise ValueError("truncated raw frame")
+                arr = np.frombuffer(
+                    data, dtype=np.uint8, count=need, offset=body_start
+                ).reshape(height, width, 3)
+                frames.append(arr[::-1, :, ::-1])  # → top-down RGB
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if width is None or not frames:
+        raise ValueError("AVI without avih/frames")
+    return width, height, frames
+
+
+def attach_avi_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video: a few-frame uncompressed AVI per doc
+    (seeded PCG64 frames) — byte-stable every run."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_ref": [], "payload": [],
+                    "n_bytes": [], "magic": []}
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id) + 2 * 10**9)
+                w, h = 8 + int(doc_id) % 5, 6 + int(doc_id) % 3
+                n_frames = 3 + int(doc_id) % 4
+                frames = [
+                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    for _ in range(n_frames)
+                ]
+                payload = encode_avi_frames(frames, w, h)
+                rows["doc_id"].append(str(doc_id))
+                rows["media_ref"].append(f"vid_{doc_id}.avi")
+                rows["payload"].append(payload)
+                rows["n_bytes"].append(len(payload))
+                rows["magic"].append(payload[:4].hex().upper())
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_DDL)
+
+
+def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling: decode AVI payloads and emit every
+    ``every``-th frame with genuine per-frame statistics — the
+    row-expanding mapInPandas contract, now over real pixels;
+    keep-with-status (a corrupt payload yields one decode_ok=false
+    row)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "decode_ok": [],
+                   "frame_no": [], "mean_brightness_millis": []}
+            for doc_id, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                try:
+                    _, _, frames = decode_avi_frames(bytes(payload))
+                except ValueError:
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["decode_ok"].append(False)
+                    out["frame_no"].append(None)
+                    out["mean_brightness_millis"].append(None)
+                    continue
+                for i in range(0, len(frames), every):
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["decode_ok"].append(True)
+                    out["frame_no"].append(i)
+                    out["mean_brightness_millis"].append(
+                        int(float(frames[i].mean()) * 1000 / 255)
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id string, media_ref string, decode_ok boolean, "
+               "frame_no int, mean_brightness_millis long",
+    )

@@ -906,3 +906,53 @@ def test_wav_codec_roundtrip_and_real_audio_features(spark, sf_med):
     )
     bad = decode_audio_features_real(corrupt).filter(~F.col("decode_ok"))
     assert [r["doc_id"] for r in bad.collect()] == ["5"]
+
+
+def test_avi_codec_and_real_frame_sampling(spark, sf_med):
+    """Real video frames: AVI round-trips pixel-exact; Spark frame
+    sampling emits every 2nd frame with genuine brightness (recomputed
+    locally); corrupt payloads keep their status row."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from parserpdf_spark.operators.multimodal import (
+        attach_avi_payloads,
+        decode_avi_frames,
+        encode_avi_frames,
+        frame_sample_real,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+              for _ in range(5)]
+    w, h, back = decode_avi_frames(encode_avi_frames(frames, 9, 6))
+    assert (w, h) == (9, 6) and len(back) == 5
+    assert all((a == b).all() for a, b in zip(back, frames))
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi_frames(b"nope")
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet").select("doc_id")
+    media = attach_avi_payloads(docs)
+    sampled = frame_sample_real(media, every=2).persist()
+    assert sampled.filter(~F.col("decode_ok")).count() == 0
+    # doc 6: 3 + 6%4 = 5 frames → sampled frames 0, 2, 4
+    rows = sorted(
+        (r["frame_no"], r["mean_brightness_millis"])
+        for r in sampled.filter(F.col("doc_id") == "6").collect()
+    )
+    rng6 = np.random.default_rng(6 + 2 * 10**9)
+    w6, h6 = 8 + 6 % 5, 6 + 6 % 3
+    local = [rng6.integers(0, 256, size=(h6, w6, 3), dtype=np.uint8)
+             for _ in range(3 + 6 % 4)]
+    want = [(i, int(float(local[i].mean()) * 1000 / 255))
+            for i in range(0, len(local), 2)]
+    assert rows == want
+    sampled.unpersist()
+
+    corrupt = media.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == "2", F.lit(b"xx")).otherwise(F.col("payload")),
+    )
+    bad = frame_sample_real(corrupt).filter(~F.col("decode_ok"))
+    assert [r["doc_id"] for r in bad.collect()] == ["2"]
