@@ -146,3 +146,23 @@ def test_pdf_parser_survives_delimiter_noise(prefix, noise):
     )
     blocks = pdf_to_blocks(pdf)
     assert any("ok" in b["text"] for b in blocks)
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300))
+def test_media_codecs_never_crash_uncontrolled(junk):
+    """Arbitrary bytes through the BMP/WAV/AVI decoders → ValueError
+    only (the keep-with-status wrappers rely on that contract)."""
+    from parserpdf_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_bmp,
+        decode_wav,
+    )
+
+    for fn, magic in ((decode_bmp, b"BM"), (decode_wav, b"RIFF"),
+                      (decode_avi_frames, b"RIFF")):
+        for data in (junk, magic + junk):
+            try:
+                fn(data)
+            except ValueError:
+                pass
