@@ -180,6 +180,8 @@ def decode_bmp(payload: bytes):
         )
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
     row_len = (w * 3 + 3) & ~3
     need = pixel_off + row_len * h
     if len(data) < need:
@@ -192,29 +194,39 @@ def decode_bmp(payload: bytes):
     return w, h, rows[:, :, ::-1]  # BGR → RGB
 
 
-def attach_bmp_payloads(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL images: one small 24-bit BMP per doc, pixels
-    seeded from doc_id (numpy PCG64) — same bytes every run, every
-    engine, so downstream feature values are reproducible."""
-    import numpy as np
+def _attach_media(docs: DataFrame, ref_fmt: str, make_payload) -> DataFrame:
+    """Shared deterministic-payload generator: one media row per doc,
+    payload = make_payload(doc_id) — the scaffolding all three real
+    modalities (BMP/WAV/AVI) use."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "media_ref": [], "payload": [],
                     "n_bytes": [], "magic": []}
             for doc_id in pdf["doc_id"]:
-                rng = np.random.default_rng(int(doc_id))
-                w, h = 16 + int(doc_id) % 17, 12 + int(doc_id) % 11
-                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                payload = encode_bmp(img)
+                payload = make_payload(int(doc_id))
                 rows["doc_id"].append(str(doc_id))
-                rows["media_ref"].append(f"img_{doc_id}.bmp")
+                rows["media_ref"].append(ref_fmt.format(doc_id=doc_id))
                 rows["payload"].append(payload)
                 rows["n_bytes"].append(len(payload))
-                rows["magic"].append(payload[:4].hex().upper()[:8])
+                rows["magic"].append(payload[:4].hex().upper())
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(run, schema=MEDIA_DDL)
+
+
+def attach_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL images: one small 24-bit BMP per doc, pixels
+    seeded from doc_id (numpy PCG64) — same bytes every run, every
+    engine, so downstream feature values are reproducible."""
+    import numpy as np
+
+    def make(nid: int) -> bytes:
+        rng = np.random.default_rng(nid)
+        w, h = 16 + nid % 17, 12 + nid % 11
+        return encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+    return _attach_media(docs, "img_{doc_id}.bmp", make)
 
 
 def decode_features_real(media: DataFrame) -> DataFrame:
@@ -222,7 +234,6 @@ def decode_features_real(media: DataFrame) -> DataFrame:
     per-channel pixel statistics, keep-with-status per row (a payload
     outside the codec's subset yields decode_ok=false + nulls, never a
     task failure).  Same mapInPandas shape as the stubbed tier."""
-    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -236,13 +247,13 @@ def decode_features_real(media: DataFrame) -> DataFrame:
                 out["media_ref"].append(ref)
                 try:
                     w, h, arr = decode_bmp(bytes(payload))
+                    means = arr.reshape(-1, 3).mean(axis=0)
                 except ValueError:
                     out["decode_ok"].append(False)
                     for k in ("width", "height", "mean_r", "mean_g",
                               "mean_b", "brightness_millis"):
                         out[k].append(None)
                     continue
-                means = arr.reshape(-1, 3).mean(axis=0)
                 out["decode_ok"].append(True)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -310,7 +321,7 @@ def decode_wav(payload: bytes):
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            if audio_fmt != 1 or channels != 1 or bits != 16 or rate <= 0:
                 raise ValueError(
                     f"unsupported WAV ({audio_fmt=} {channels=} {bits=}) — "
                     "mono 16-bit PCM only"
@@ -328,30 +339,21 @@ def attach_wav_payloads(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
     samples seeded from doc_id (PCG64 noise) — byte-stable every run."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "media_ref": [], "payload": [],
-                    "n_bytes": [], "magic": []}
-            for doc_id in pdf["doc_id"]:
-                rng = np.random.default_rng(int(doc_id) + 10**9)
-                n = 800 + int(doc_id) % 801  # 50-100 ms at 16 kHz
-                clip = rng.integers(-20000, 20000, size=n, dtype=np.int16)
-                payload = encode_wav(clip, sample_rate)
-                rows["doc_id"].append(str(doc_id))
-                rows["media_ref"].append(f"clip_{doc_id}.wav")
-                rows["payload"].append(payload)
-                rows["n_bytes"].append(len(payload))
-                rows["magic"].append(payload[:4].hex().upper())
-            yield pd.DataFrame(rows)
+    def make(nid: int) -> bytes:
+        rng = np.random.default_rng(nid + 10**9)
+        n = 800 + nid % 801  # 50-100 ms at 16 kHz
+        return encode_wav(
+            rng.integers(-20000, 20000, size=n, dtype=np.int16), sample_rate
+        )
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_DDL)
+    return _attach_media(docs, "clip_{doc_id}.wav", make)
 
 
 def decode_audio_features_real(media: DataFrame) -> DataFrame:
     """REAL audio decode + features: WAV payloads → duration, RMS, peak
     — keep-with-status per row, same Arrow-batched shape as the image
     tier."""
-    import numpy as np
+    import numpy as np  # noqa: F401 - used via array methods below
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -365,13 +367,13 @@ def decode_audio_features_real(media: DataFrame) -> DataFrame:
                 out["media_ref"].append(ref)
                 try:
                     rate, samples = decode_wav(bytes(payload))
+                    x = samples.astype(np.float64) / 32768.0
                 except ValueError:
                     out["decode_ok"].append(False)
                     for k in ("sample_rate", "n_samples", "duration_millis",
                               "rms_millis", "peak"):
                         out[k].append(None)
                     continue
-                x = samples.astype(np.float64) / 32768.0
                 out["decode_ok"].append(True)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(samples))
@@ -439,18 +441,26 @@ def decode_avi_frames(payload: bytes):
     width = height = None
     frames: list = []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal width, height
+        if depth > 32:
+            raise ValueError("AVI LIST nesting too deep")
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", data, pos)
             body_start = pos + 8
             if body_start + size > end:
                 raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
-                walk(body_start + 4, body_start + size)
+                if size < 4:
+                    raise ValueError("truncated LIST chunk")
+                walk(body_start + 4, body_start + size, depth + 1)
             elif cid == b"avih":
+                if size < 56:
+                    raise ValueError("truncated avih header")
                 vals = struct.unpack_from("<14I", data, body_start)
                 width, height = vals[8], vals[9]
+                if width <= 0 or height <= 0:
+                    raise ValueError("degenerate AVI dimensions")
             elif cid == b"00db":
                 if width is None or height is None:
                     raise ValueError("frame chunk before avih header")
@@ -474,27 +484,16 @@ def attach_avi_payloads(docs: DataFrame) -> DataFrame:
     (seeded PCG64 frames) — byte-stable every run."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "media_ref": [], "payload": [],
-                    "n_bytes": [], "magic": []}
-            for doc_id in pdf["doc_id"]:
-                rng = np.random.default_rng(int(doc_id) + 2 * 10**9)
-                w, h = 8 + int(doc_id) % 5, 6 + int(doc_id) % 3
-                n_frames = 3 + int(doc_id) % 4
-                frames = [
-                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    for _ in range(n_frames)
-                ]
-                payload = encode_avi_frames(frames, w, h)
-                rows["doc_id"].append(str(doc_id))
-                rows["media_ref"].append(f"vid_{doc_id}.avi")
-                rows["payload"].append(payload)
-                rows["n_bytes"].append(len(payload))
-                rows["magic"].append(payload[:4].hex().upper())
-            yield pd.DataFrame(rows)
+    def make(nid: int) -> bytes:
+        rng = np.random.default_rng(nid + 2 * 10**9)
+        w, h = 8 + nid % 5, 6 + nid % 3
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(3 + nid % 4)
+        ]
+        return encode_avi_frames(frames, w, h)
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_DDL)
+    return _attach_media(docs, "vid_{doc_id}.avi", make)
 
 
 def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
@@ -503,7 +502,6 @@ def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
     row-expanding mapInPandas contract, now over real pixels;
     keep-with-status (a corrupt payload yields one decode_ok=false
     row)."""
-    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

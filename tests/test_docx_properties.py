@@ -148,20 +148,47 @@ def test_pdf_parser_survives_delimiter_noise(prefix, noise):
     assert any("ok" in b["text"] for b in blocks)
 
 
-@settings(max_examples=40, deadline=None)
-@given(junk=st.binary(min_size=0, max_size=300))
-def test_media_codecs_never_crash_uncontrolled(junk):
-    """Arbitrary bytes through the BMP/WAV/AVI decoders → ValueError
-    only (the keep-with-status wrappers rely on that contract)."""
+@settings(max_examples=60, deadline=None)
+@given(
+    junk=st.binary(min_size=0, max_size=300),
+    mutations=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),
+                  st.integers(min_value=0, max_value=255)),
+        min_size=0, max_size=8,
+    ),
+)
+def test_media_codecs_never_crash_uncontrolled(junk, mutations):
+    """Raw junk AND mutated-valid encodings through the BMP/WAV/AVI
+    decoders → ValueError only (the keep-with-status wrappers rely on
+    that contract).  The mutation arm matters: it gets PAST the header
+    checks into the chunk walkers, where raw junk never reaches."""
+    import numpy as np
+
     from parserpdf_spark.operators.multimodal import (
         decode_avi_frames,
         decode_bmp,
         decode_wav,
+        encode_avi_frames,
+        encode_bmp,
+        encode_wav,
     )
 
-    for fn, magic in ((decode_bmp, b"BM"), (decode_wav, b"RIFF"),
-                      (decode_avi_frames, b"RIFF")):
-        for data in (junk, magic + junk):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    clip = rng.integers(-100, 100, size=64, dtype=np.int16)
+    frames = [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+              for _ in range(3)]
+    valids = [
+        (decode_bmp, encode_bmp(img)),
+        (decode_wav, encode_wav(clip)),
+        (decode_avi_frames, encode_avi_frames(frames, 6, 4)),
+    ]
+    for fn, valid in valids:
+        # header-preserving mutations reach the chunk/pixel machinery
+        mutated = bytearray(valid)
+        for pos, val in mutations:
+            mutated[12 + pos % max(1, len(mutated) - 12)] = val
+        for data in (junk, valid[:12] + junk, bytes(mutated)):
             try:
                 fn(data)
             except ValueError:
