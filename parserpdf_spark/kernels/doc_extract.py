@@ -122,7 +122,14 @@ class _Cfb:
     def _read_mini(self, start: int, size: int) -> bytes:
         out = bytearray()
         cur = start
+        steps = 0
         while cur not in (_ENDOFCHAIN, _FREESECT):
+            # a valid chain can't have more links than the miniFAT has
+            # entries; an empty mini-container makes the size guard alone
+            # insufficient (slices append nothing, so a cycle spins forever)
+            steps += 1
+            if steps > len(self.minifat):
+                raise ValueError("miniFAT chain cycle")
             off = cur * self.mssz
             out += self.mini_container[off : off + self.mssz]
             if cur >= len(self.minifat) or len(out) > size + self.mssz * 2:
@@ -144,6 +151,9 @@ def _clx_pieces(clx: bytes) -> list[tuple[int, int, int, bool]]:
     pos = 0
     while pos < len(clx) and clx[pos] == 0x01:  # Prc entries: skip
         (cb,) = struct.unpack_from("<h", clx, pos + 1)
+        if cb < 0:  # cbGrpprl is non-negative per [MS-DOC]; a negative
+            # value (e.g. 0xFFFD → -3) would leave pos unchanged forever
+            raise ValueError("bad Prc length in CLX")
         pos += 3 + cb
     if pos >= len(clx) or clx[pos] != 0x02:
         raise ValueError("CLX without a Pcdt piece table")
@@ -165,8 +175,20 @@ def _clx_pieces(clx: bytes) -> list[tuple[int, int, int, bool]]:
 
 
 def doc_to_text(data: bytes) -> str:
-    """.doc bytes → the main-document text (paragraph marks as \\r)."""
-    cfb = _Cfb(bytes(data))
+    """.doc bytes → the main-document text (paragraph marks as \\r).
+
+    All malformed-input failures surface as ValueError (the dispatcher's
+    keep-with-status contract): struct.error from truncated/misaligned
+    buffers is translated at this boundary.
+    """
+    try:
+        return _doc_to_text(bytes(data))
+    except struct.error as exc:
+        raise ValueError(f"malformed .doc structure: {exc}") from exc
+
+
+def _doc_to_text(data: bytes) -> str:
+    cfb = _Cfb(data)
     word = cfb.stream("WordDocument")
     if word is None or len(word) < 0x200:
         raise ValueError("no WordDocument stream (not a Word binary file)")

@@ -63,7 +63,6 @@ def _split_blocks(text: str) -> list[str]:
 
 
 def _classify_block(block: str) -> list[dict]:
-    lines = block.split("\n")
     stripped = block.strip()
     if not stripped:
         return []
@@ -73,11 +72,20 @@ def _classify_block(block: str) -> list[dict]:
     if _HEADING_RE.match(stripped):
         # only the FIRST line is the heading — markdown does not require
         # a blank line before the next block; the remainder re-classifies
-        # (a second heading stays a heading, an image stays an image)
-        head, _, rest = stripped.partition("\n")
-        return [
-            {"kind": "heading", "text": head.strip(), "media_ref": None}
-        ] + _classify_block(rest)
+        # (a second heading stays a heading, an image stays an image).
+        # Peel heading lines iteratively: a generated TOC with thousands
+        # of consecutive heading lines must not recurse per line.
+        out: list[dict] = []
+        while _HEADING_RE.match(stripped):
+            head, _, rest = stripped.partition("\n")
+            out.append(
+                {"kind": "heading", "text": head.strip(), "media_ref": None}
+            )
+            stripped = rest.strip()
+            if not stripped:
+                return out
+        return out + _classify_block(stripped)
+    lines = block.split("\n")
     if stripped.startswith("```"):
         # strip the closing fence only if it is actually there — an
         # unclosed fence at EOF must not eat the last code line

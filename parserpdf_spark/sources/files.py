@@ -91,6 +91,8 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
             row["ingest_status"] = "error"
             row["ingest_error"] = f"UnicodeDecodeError: {exc}"
     elif suffix in (".docx", ".doc"):
+        import struct
+
         from parserpdf_spark.kernels.doc_extract import CFB_MAGIC, doc_to_html
 
         is_ole2 = bytes(content[:8]) == CFB_MAGIC
@@ -100,7 +102,10 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
                 row["spans"] = _html_span(doc_to_html(bytes(content)))
             else:
                 row["spans"] = _html_span(docx_to_html(bytes(content)))
-        except ValueError as exc:
+        except (ValueError, struct.error) as exc:
+            # struct.error is also translated at the kernel boundary; the
+            # widened catch here keeps the keep-with-status contract even
+            # for parse paths added later
             row["ingest_status"] = "error"
             row["ingest_error"] = str(exc)
     elif suffix == ".pdf":

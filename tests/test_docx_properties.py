@@ -6,6 +6,7 @@ image refs)."""
 import os
 import sys
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -193,3 +194,60 @@ def test_media_codecs_never_crash_uncontrolled(junk, mutations):
                 fn(data)
             except ValueError:
                 pass
+
+
+# ---- round-4 advisor regressions: crafted (not random) malformed inputs
+# that previously escaped the ValueError-only contract or hung the task
+
+
+def test_doc_cfb_misaligned_fat_raises_valueerror_not_struct_error():
+    """A plausible OLE2 header (sector_shift=1 → 2-byte sectors) makes
+    the FAT bytes a non-multiple of 4; struct.error must be translated
+    to ValueError at the kernel boundary (keep-with-status contract)."""
+    import struct
+
+    from parserpdf_spark.kernels.doc_extract import CFB_MAGIC, doc_to_text
+    from parserpdf_spark.sources.files import route_file
+
+    data = bytearray(516)
+    data[:8] = CFB_MAGIC
+    struct.pack_into("<H", data, 0x1E, 1)  # sector_shift=1
+    struct.pack_into("<I", data, 0x2C, 1)  # n_fat=1
+    struct.pack_into("<I", data, 0x44, 0xFFFFFFFE)  # no DIFAT chaining
+    struct.pack_into("<I", data, 0x4C, 0)  # DIFAT[0] = sector 0
+    with pytest.raises(ValueError):
+        doc_to_text(bytes(data))
+    row = route_file("/x/crafted.doc", bytes(data))
+    assert row["ingest_status"] == "error"
+
+
+def test_doc_clx_negative_prc_length_raises():
+    """cb = -3 (bytes 01 FD FF) used to leave pos unchanged → infinite
+    loop; must raise ValueError immediately."""
+    from parserpdf_spark.kernels.doc_extract import _clx_pieces
+
+    with pytest.raises(ValueError, match="Prc"):
+        _clx_pieces(b"\x01\xfd\xff")
+
+
+def test_doc_minifat_self_loop_with_empty_container_raises():
+    """minifat=[0] + empty mini-stream: the output-size guard never
+    fires (empty slices), so the chain must be bounded by miniFAT length."""
+    from parserpdf_spark.kernels.doc_extract import _Cfb
+
+    cfb = _Cfb.__new__(_Cfb)
+    cfb.mssz = 64
+    cfb.minifat = [0]
+    cfb.mini_container = b""
+    with pytest.raises(ValueError, match="cycle"):
+        cfb._read_mini(0, 100)
+
+
+def test_md_thousands_of_consecutive_headings_no_recursion_error():
+    """A generated TOC (4000 heading lines, no blank separators) must
+    classify iteratively, not recurse per line."""
+    from parserpdf_spark.kernels.md_extract import markdown_to_spans
+
+    spans = markdown_to_spans("# h\n" * 4000)
+    assert len(spans) == 4000
+    assert {s["kind"] for s in spans} == {"heading"}
