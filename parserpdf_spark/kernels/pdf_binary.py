@@ -24,9 +24,14 @@ Supported (all from scratch):
   arrays, or the standard-14 AFM metrics (Helvetica/Times/Courier
   families, public Adobe Core 14 data) keyed by /BaseFont; estimated
   widths (CHAR_WIDTH_FRAC) only as the fallback for unknown fonts
-- composite Type0 fonts with /Encoding /Identity-H: 2-byte CIDs from
-  hex strings, text recovered through the /ToUnicode CMap
-  (bfchar/bfrange), advances from the descendant CIDFont's /W + /DW
+- composite Type0 fonts: /Identity-H (and -V) 2-byte CIDs, the
+  predefined UniXX-UCS2 encodings (code = UCS-2 code point; CJK text
+  extracts without Adobe registry tables, widths via /DW), and embedded
+  /Encoding CID CMap streams (codespacerange with 1–4-byte codes,
+  cidchar/cidrange kept as ranges, Identity usecmap bases); text
+  recovered through the /ToUnicode CMap (bfchar/bfrange, keyed by
+  character code) or the UCS-2 code itself, advances from the
+  descendant CIDFont's /W + /DW
 - image XObjects: ``/Resources /XObject`` names invoked by ``Do`` are
   placed via the graphics-state CTM (q/Q/cm tracked) and emitted as
   media blocks (``media_ref`` set), with their raw payload bytes
@@ -51,8 +56,10 @@ images at the Do-time CTM — identity/translation placements extract
 in-place; scaled/rotated/nested forms raise (exact placement can't be
 reproduced, and silent misplacement is worse than the pre-chunker).
 
-Scope (honest): non-encrypted PDFs; no CID encodings beyond Identity-H,
-no CCITTFax/JBIG2/JPX decoding (JPX payloads pass through raw).
+Scope (honest): non-encrypted PDFs; predefined CID encodings other than
+Identity-* / UniXX-UCS2 (the raw-charset CMaps needing Adobe registry
+tables, e.g. GBK-EUC-H) raise; no CCITTFax/JBIG2/JPX decoding (JPX
+payloads pass through raw).
 Anything outside the subset raises ValueError and the ingestion bridge
 keeps the ``needs_prechunk`` contract for it.
 
@@ -586,13 +593,63 @@ def _resources(objects: dict[int, bytes], num: int) -> bytes:
 class _Font:
     """Decoding + advance-width behavior of one page font."""
 
-    __slots__ = ("type0", "widths", "default_w", "to_unicode")
+    __slots__ = (
+        "type0", "widths", "default_w", "to_unicode",
+        "codespace", "cid_chars", "cid_ranges", "ucs2",
+    )
 
     def __init__(self):
         self.type0 = False
         self.widths: dict[int, float] | None = None  # code→width/1000
         self.default_w = 1000.0 * CHAR_WIDTH_FRAC
         self.to_unicode: dict[int, str] = {}
+        # CID machinery (Type0 only).  codespace: (nbytes, lo, hi) ranges
+        # driving variable-length code splitting; cid_chars/cid_ranges:
+        # the embedded-CMap code→CID map (None/[] = identity, the
+        # Identity-H case); ucs2: the code IS the UCS-2 code point (the
+        # predefined UniXX-UCS2 encodings — CID unknown without Adobe's
+        # registry tables, so widths fall back to /DW).
+        self.codespace: list[tuple[int, int, int]] = [(2, 0x0000, 0xFFFF)]
+        self.cid_chars: dict[int, int] | None = None
+        self.cid_ranges: list[tuple[int, int, int]] = []
+        self.ucs2 = False
+
+    def _codes(self, raw: bytes) -> list[int]:
+        """String bytes → character codes via the codespace ranges
+        (shortest-first greedy; a dangling fragment shorter than the
+        shortest range is dropped, matching fixed-2-byte behavior)."""
+        out: list[int] = []
+        i, n = 0, len(raw)
+        ranges = sorted(self.codespace)
+        min_nb = ranges[0][0] if ranges else 2
+        while i < n:
+            for nb, lo, hi in ranges:
+                if i + nb <= n and lo <= int.from_bytes(raw[i:i + nb], "big") <= hi:
+                    out.append(int.from_bytes(raw[i:i + nb], "big"))
+                    i += nb
+                    break
+            else:
+                # spec 9.7.6.3: unmatched bytes consume the shortest
+                # code length and map through as-is (→ notdef-ish)
+                if i + min_nb > n:
+                    break
+                out.append(int.from_bytes(raw[i:i + min_nb], "big"))
+                i += min_nb
+        return out
+
+    def _cid(self, code: int) -> int | None:
+        """code → CID.  None when unmappable (predefined UCS-2 without
+        registry tables, or an embedded CMap with no entry)."""
+        if self.ucs2:
+            return None
+        if self.cid_chars is None and not self.cid_ranges:
+            return code  # Identity
+        if self.cid_chars is not None and code in self.cid_chars:
+            return self.cid_chars[code]
+        for lo, hi, cid in self.cid_ranges:
+            if lo <= code <= hi:
+                return cid + (code - lo)
+        return None
 
     def decode(self, token: bytes) -> tuple[str, float]:
         """One string token (``(…)`` literal or ``<…>`` hex) →
@@ -605,16 +662,26 @@ class _Font:
         else:
             raw = None
         if self.type0:
-            if raw is None:  # literal strings carry 2-byte codes too
+            if raw is None:  # literal strings carry multi-byte codes too
                 raw = _decode_pdf_string_bytes(token[1:-1])
-            cids = [
-                (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw) - 1, 2)
-            ]
-            text = "".join(self.to_unicode.get(c, chr(c)) for c in cids)
-            width = sum(
-                (self.widths or {}).get(c, self.default_w) for c in cids
-            )
-            return text, width
+            parts: list[str] = []
+            width = 0.0
+            for code in self._codes(raw):
+                cid = self._cid(code)
+                # ToUnicode is keyed by character CODE (== CID only under
+                # Identity); UCS-2 encodings carry the code point directly
+                if code in self.to_unicode:
+                    parts.append(self.to_unicode[code])
+                elif self.ucs2:
+                    parts.append(chr(code) if code <= 0x10FFFF else "�")
+                else:
+                    cp = cid if cid is not None else code
+                    parts.append(chr(cp) if cp <= 0x10FFFF else "�")
+                width += (
+                    (self.widths or {}).get(cid, self.default_w)
+                    if cid is not None else self.default_w
+                )
+            return "".join(parts), width
         if raw is not None:
             text = raw.decode("latin-1")
         else:
@@ -707,14 +774,86 @@ def _parse_tounicode(stream: bytes) -> dict[int, str]:
     return out
 
 
+def _parse_cid_cmap(
+    stream: bytes,
+) -> tuple[list[tuple[int, int, int]], dict[int, int],
+           list[tuple[int, int, int]]]:
+    """Embedded CID CMap program → (codespace, cid_chars, cid_ranges).
+
+    Covers the constructs real embedded CMaps use (PDF 9.7.5.3 /
+    Adobe CMap spec): begincodespacerange (1–4 byte codes, the hex-digit
+    count of the low bound fixes the byte width), begincidchar pairs and
+    begincidrange runs (kept as ranges — a hostile <00000000> <FFFFFFFF>
+    run must not expand to 4G dict entries).  ``usecmap`` is accepted
+    only for the Identity bases; any other base CMap is outside the
+    subset and raises (→ needs_prechunk, never silent mojibake).
+    """
+    um = re.search(rb"/([A-Za-z0-9_.+-]+)\s+usecmap", stream)
+    if um and um.group(1) not in (b"Identity-H", b"Identity-V"):
+        raise ValueError(
+            f"embedded CMap uses unsupported base {um.group(1).decode('latin-1')!r}"
+        )
+    codespace: list[tuple[int, int, int]] = []
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange",
+                         stream, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                              m.group(1)):
+            lo_h, hi_h = pm.group(1), pm.group(2)
+            nb = (len(lo_h) + 1) // 2
+            if nb < 1 or nb > 4:
+                raise ValueError("CMap codespace width outside 1-4 bytes")
+            codespace.append((nb, int(lo_h, 16), int(hi_h, 16)))
+    cid_chars: dict[int, int] = {}
+    for m in re.finditer(rb"begincidchar(.*?)endcidchar", stream, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s+(\d+)", m.group(1)):
+            cid_chars[int(pm.group(1), 16)] = int(pm.group(2))
+    cid_ranges: list[tuple[int, int, int]] = []
+    for m in re.finditer(rb"begincidrange(.*?)endcidrange", stream, re.S):
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)", m.group(1)
+        ):
+            cid_ranges.append((
+                int(pm.group(1), 16), int(pm.group(2), 16),
+                int(pm.group(3)),
+            ))
+    if not codespace and not cid_chars and not cid_ranges and not um:
+        raise ValueError("embedded /Encoding stream is not a CID CMap")
+    return codespace or [(2, 0x0000, 0xFFFF)], cid_chars, cid_ranges
+
+
+# predefined CMap names where the 2-byte code IS the UCS-2 code point
+# (Adobe's UniXX-UCS2 family; H/V differ only in writing mode, which the
+# block machinery renders as horizontal text either way)
+_UCS2_CMAP_RE = re.compile(rb"Uni(?:GB|CNS|JIS|JISX0213|KS)-UCS2-[HV]$")
+
+
 def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
     """One /Font object body → _Font (metrics + decoding)."""
     h = _head(body)
     f = _Font()
     if re.search(rb"/Subtype\s*/Type0\b", h):
         f.type0 = True
-        if not re.search(rb"/Encoding\s*/Identity-H\b", h):
-            raise ValueError("Type0 font with non-Identity-H encoding")
+        em = re.search(rb"/Encoding\s*/([A-Za-z0-9_.+-]+)", h)
+        if em:
+            name = em.group(1)
+            if name in (b"Identity-H", b"Identity-V"):
+                pass  # defaults: 2-byte codespace, CID = code
+            elif _UCS2_CMAP_RE.search(name):
+                f.ucs2 = True  # code = UCS-2 code point; widths via /DW
+            else:
+                raise ValueError(
+                    f"Type0 predefined encoding {name.decode('latin-1')!r}"
+                    " not supported (needs Adobe registry tables)"
+                )
+        else:
+            enc = _ref(h, b"Encoding")
+            if enc is None or enc not in objects:
+                raise ValueError("Type0 font without a resolvable /Encoding")
+            payload = _stream_payload(objects[enc], objects)
+            if not payload:
+                raise ValueError("Type0 /Encoding stream did not decode")
+            f.codespace, chars, f.cid_ranges = _parse_cid_cmap(payload)
+            f.cid_chars = chars or None
         desc = _dict_value(objects, h, b"DescendantFonts")
         if desc is None:
             raise ValueError("Type0 font without /DescendantFonts")

@@ -97,11 +97,11 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 34, "error": 1, "needs_prechunk": 1, "skipped": 2}
+    assert statuses == {"ok": 36, "error": 1, "needs_prechunk": 1, "skipped": 2}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 34
+    assert metrics.count() == 36
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -166,9 +166,9 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 34, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 36, "error": 1, "needs_prechunk": 1, "skipped": 2,
     }
-    assert report["docs_by_status"] == {"ok": 34}
+    assert report["docs_by_status"] == {"ok": 36}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 
@@ -261,6 +261,112 @@ def test_pdf_type0_identity_h_roundtrip():
     chunks = [" ".join(words[3:][i:i + 12])
               for i in range(0, len(words) - 3, 12)]
     assert [s["text"] for s in spans if s["kind"] == "para"] == chunks
+
+
+def _cid_pdf(font_obj: bytes, extra_objs: dict, content: bytes) -> bytes:
+    """A one-page PDF with the given /F1 font object + extras."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: font_obj,
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: (f"<< /Length {len(content)} >>".encode()
+            + b"\nstream\n" + content + b"\nendstream"),
+    }
+    objs.update(extra_objs)
+    out = bytearray(b"%PDF-1.4\n")
+    for n in sorted(objs):
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+_CID_DESC = b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /X /DW 1000 >>"
+
+
+def test_pdf_ucs2_cjk_fixture_extracts_expected_text():
+    """The committed UniJIS-UCS2-H fixture (doc_46.pdf) extracts the CJK
+    title + paragraph — expectation derived independently from the
+    deterministic vocabulary, not from the kernel."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import cjk_text
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+
+    words = cjk_text(46).split(" ")
+    blocks = pdf_to_blocks(_fixture_bytes("doc_46.pdf"))
+    spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
+    assert spans[0]["text"] == "# " + " ".join(words[:3])
+    assert [s["text"] for s in spans if s["kind"] == "para"] == [
+        " ".join(words[3:15])
+    ]
+
+
+def test_pdf_embedded_cmap_mixed_codespace():
+    """An embedded /Encoding CID CMap with a 1-byte ASCII codespace and
+    a 2-byte range in the SAME string: variable-length code splitting,
+    cidrange/cidchar lookup, and code-keyed ToUnicode."""
+    import json
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"2 begincodespacerange\n<20> <7E>\n<8140> <9FFF>\n"
+            b"endcodespacerange\n"
+            b"1 begincidrange\n<20> <7E> 32\nendcidrange\n"
+            b"1 begincidchar\n<8141> 9000\nendcidchar\nend\n")
+    enc = (f"<< /Length {len(cmap)} >>".encode()
+           + b"\nstream\n" + cmap + b"\nendstream")
+    tu = (b"1 beginbfchar\n<8141> <3042>\nendbfchar\n")
+    tuo = (f"<< /Length {len(tu)} >>".encode()
+           + b"\nstream\n" + tu + b"\nendstream")
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Y "
+            b"/Encoding 101 0 R /DescendantFonts [100 0 R] "
+            b"/ToUnicode 102 0 R >>")
+    # "Hi " as 1-byte codes then <8141> as a 2-byte code, one hex string
+    content = b"BT /F1 12 Tf 50 700 Td <4869208141> Tj ET"
+    pdf = _cid_pdf(font, {100: _CID_DESC, 101: enc, 102: tuo}, content)
+    blocks = pdf_to_blocks(pdf)
+    spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
+    assert [s["text"] for s in spans] == ["Hi あ"]
+
+
+def test_pdf_type0_encoding_gates():
+    """Identity-V is accepted; predefined raw-charset CMaps (Adobe
+    registry tables we don't ship) raise → needs_prechunk; a hostile
+    embedded cidrange must not expand into billions of dict entries."""
+    from parserpdf_spark.kernels.pdf_binary import (
+        _parse_cid_cmap,
+        pdf_to_blocks,
+    )
+
+    content = b"BT /F1 12 Tf 50 700 Td <00480069> Tj ET"
+    fv = (b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+          b"/Encoding /Identity-V /DescendantFonts [100 0 R] >>")
+    blocks = pdf_to_blocks(_cid_pdf(fv, {100: _CID_DESC}, content))
+    assert blocks[0]["text"] == "Hi"
+
+    fg = (b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+          b"/Encoding /GBK-EUC-H /DescendantFonts [100 0 R] >>")
+    with pytest.raises(ValueError, match="GBK-EUC-H"):
+        pdf_to_blocks(_cid_pdf(fg, {100: _CID_DESC}, content))
+    row = route_file("/x/gbk.pdf", _cid_pdf(fg, {100: _CID_DESC}, content))
+    assert row["ingest_status"] == "needs_prechunk"
+
+    # hostile 4-byte full-range cidrange: stays a range, returns fast
+    cs, chars, ranges = _parse_cid_cmap(
+        b"1 begincodespacerange <00000000> <FFFFFFFF> endcodespacerange\n"
+        b"1 begincidrange <00000000> <FFFFFFFF> 0 endcidrange\n"
+    )
+    assert ranges == [(0, 0xFFFFFFFF, 0)] and chars == {}
+    with pytest.raises(ValueError, match="usecmap|base"):
+        _parse_cid_cmap(b"/GBK-EUC-H usecmap\n")
 
 
 def test_pdf_embedded_image_spans_and_payload():
@@ -465,8 +571,8 @@ def test_pdf_w_array_and_tounicode_parsers():
 def test_pdf_binary_corpus_roundtrip_500():
     """EVERY sf0.001 doc round-trips exactly through a built PDF — the
     width tables closed the former 11/500 estimated-width residue.
-    Variants cycle raw/Flate/Type0 so all decode paths get corpus-wide
-    coverage."""
+    Variants cycle raw/Flate/Type0/ObjStm/embedded-CMap so all decode
+    paths get corpus-wide coverage."""
     import json
     import sys
 
@@ -487,7 +593,8 @@ def test_pdf_binary_corpus_roundtrip_500():
             {"compress": True},
             {"compress": True, "font_mode": "type0"},
             {"compress": True, "objstm": True},
-        ][nid % 4]
+            {"compress": True, "font_mode": "cmap"},
+        ][nid % 5]
         blocks = pdf_to_blocks(build_pdf(nid, text, **kw))
         spans = extract_pdf_blocks([(json.dumps(b), None) for b in blocks])
         words = [w for w in text.split(" ") if w]

@@ -320,17 +320,22 @@ def _pdf_escape(s: str) -> str:
 
 
 def _pdf_text_block(
-    x: float, y_top: float, size: int, lines: list[str], hex_mode: bool = False
+    x: float, y_top: float, size: int, lines: list[str], hex_digits: int = 0
 ) -> str:
     """One BT..ET block: absolute Td to the first baseline, T* steps.
-    ``hex_mode`` shows text as 2-byte-CID hex strings (Type0/Identity-H)."""
+    ``hex_digits`` > 0 shows text as hex-string codes of that width:
+    4 for 2-byte CIDs (Type0 Identity-H / UCS-2), 2 for 1-byte codes
+    (embedded-CMap ASCII codespace)."""
     y_baseline = PAGE_H - y_top - size
     ops = [f"BT /F1 {size} Tf {PDF_LEADING} TL {x} {y_baseline} Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append("T*")
-        if hex_mode:
-            ops.append("<" + "".join(f"{ord(c):04X}" for c in line) + "> Tj")
+        if hex_digits:
+            ops.append(
+                "<" + "".join(f"{ord(c):0{hex_digits}X}" for c in line)
+                + "> Tj"
+            )
         else:
             ops.append(f"({_pdf_escape(line)}) Tj")
     ops.append("ET")
@@ -342,6 +347,23 @@ def _wrap_words(words: list[str], per_line: int = 6) -> list[str]:
     # 50pt row pitch: the >15pt inter-row gap that separates 2-column
     # TEXT from table grids in the layout kernel (ROW_GAP_MAX_PT)
     return [" ".join(words[i:i + per_line]) for i in range(0, len(words), per_line)]
+
+
+# deterministic Japanese text for the UCS-2 fixture: 15 words → 3-word
+# title + one 12-word paragraph, single column (short by design so layout
+# classification is width-independent — UCS-2 CIDs have no /W lookup)
+_CJK_VOCAB = [
+    "日本語", "文書", "解析", "東京", "大学", "自然", "言語", "処理",
+    "機械", "学習", "深層", "統計", "手法", "研究", "評価", "実験",
+]
+
+
+def cjk_text(nid: int) -> str:
+    n = len(_CJK_VOCAB)
+    return " ".join(
+        _CJK_VOCAB[(nid + 3 * k) % n] + _CJK_VOCAB[(nid + 5 * k + 1) % n]
+        for k in range(15)
+    )
 
 
 FAKE_JPEG = (
@@ -363,20 +385,27 @@ def build_pdf(
     body in the synth geometry; Flate-compressed streams on request.
 
     ``font_mode="type0"`` uses a composite Identity-H font (hex-string
-    CIDs, /W width array, ToUnicode CMap); ``with_image`` embeds a
-    DCTDecode image XObject placed full-width between title and body;
-    ``objstm`` packs all non-stream objects (catalog, pages tree, font,
-    page dicts) into a PDF 1.5 /Type /ObjStm compressed object stream —
-    the modern layout where no ``N 0 obj`` frame exists for them.
+    CIDs, /W width array, ToUnicode CMap); ``font_mode="cmap"`` uses an
+    embedded /Encoding CID CMap stream with a 1-byte ASCII codespace
+    (plus an unused 2-byte range, exercising variable-length code
+    splitting) and an identity cidrange so the same /W widths apply;
+    ``font_mode="ucs2"`` uses the predefined /UniJIS-UCS2-H encoding
+    (2-byte codes ARE the UCS-2 code points — the CJK path; widths fall
+    back to /DW since CIDs need Adobe registry tables); ``with_image``
+    embeds a DCTDecode image XObject placed full-width between title and
+    body; ``objstm`` packs all non-stream objects (catalog, pages tree,
+    font, page dicts) into a PDF 1.5 /Type /ObjStm compressed object
+    stream — the modern layout where no ``N 0 obj`` frame exists for
+    them.
     """
     import zlib
 
-    hex_mode = font_mode == "type0"
+    hex_digits = {"type0": 4, "ucs2": 4, "cmap": 2}.get(font_mode, 0)
     words = _words(text)
     pages_ops: dict[int, list[str]] = {}
     title = " ".join(words[:HEAD_WORDS])
     pages_ops[0] = [
-        _pdf_text_block(PDF_LEFT_X, 40, PDF_TITLE_SIZE, [title], hex_mode)
+        _pdf_text_block(PDF_LEFT_X, 40, PDF_TITLE_SIZE, [title], hex_digits)
     ]
     if with_image:
         # unit square scaled 512x37 at (50, 730): top-down y 75..112,
@@ -390,7 +419,7 @@ def build_pdf(
         y_top = PDF_TOP_Y + row * PDF_ROW_PITCH
         pages_ops.setdefault(page, []).append(
             _pdf_text_block(x, y_top, PDF_BODY_SIZE, _wrap_words(chunk),
-                            hex_mode)
+                            hex_digits)
         )
 
     n_pages = len(pages_ops)
@@ -402,27 +431,53 @@ def build_pdf(
     objs[2] = (
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
-    if hex_mode:
+    if font_mode in ("type0", "cmap"):
         from parserpdf_spark.kernels.pdf_binary import _HELVETICA
 
+        if font_mode == "type0":
+            enc = b"/Encoding /Identity-H "
+        else:
+            enc = b"/Encoding 103 0 R "
+            cid_cmap = (
+                b"/CIDInit /ProcSet findresource begin\n"
+                b"2 begincodespacerange\n<20> <7E>\n<8140> <9FFF>\n"
+                b"endcodespacerange\n"
+                b"1 begincidrange\n<20> <7E> 32\nendcidrange\nend\n"
+            )
+            objs[103] = (
+                f"<< /Length {len(cid_cmap)} >>".encode()
+                + b"\nstream\n" + cid_cmap + b"\nendstream"
+            )
         objs[3] = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
-            b"/Encoding /Identity-H /DescendantFonts [100 0 R] "
-            b"/ToUnicode 101 0 R >>"
+            + enc + b"/DescendantFonts [100 0 R] /ToUnicode 101 0 R >>"
         )
         w_list = " ".join(str(w) for w in _HELVETICA)
         objs[100] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
             + f"/DW 500 /W [32 [{w_list}]] >>".encode()
         )
+        # ToUnicode keys are character CODES: 2-byte under Identity-H,
+        # 1-byte under the embedded-CMap ASCII codespace
+        bf = (b"<0020> <007E> <0020>" if font_mode == "type0"
+              else b"<20> <7E> <0020>")
         cmap = (
             b"/CIDInit /ProcSet findresource begin\n"
             b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
-            b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nend\n"
+            b"1 beginbfrange\n" + bf + b"\nendbfrange\nend\n"
         )
         objs[101] = (
             f"<< /Length {len(cmap)} >>".encode()
             + b"\nstream\n" + cmap + b"\nendstream"
+        )
+    elif font_mode == "ucs2":
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansJP "
+            b"/Encoding /UniJIS-UCS2-H /DescendantFonts [100 0 R] >>"
+        )
+        objs[100] = (
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /NotoSansJP "
+            b"/DW 1000 >>"
         )
     else:
         objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -529,6 +584,18 @@ def build_corpus() -> None:
     for i, kw in zip(pdf_ids, variants):
         with open(os.path.join(FIXTURES, f"doc_{i}.pdf"), "wb") as fh:
             fh.write(build_pdf(i, by_id[i], **kw))
+
+    # CID/CMap breadth: embedded /Encoding CMap stream (1-byte ASCII
+    # codespace + identity cidrange), and a predefined-UCS2 CJK document
+    # (non-latin text, codes ARE the UCS-2 code points)
+    cmap_id = docx_ids[14]
+    with open(os.path.join(FIXTURES, f"doc_{cmap_id}.pdf"), "wb") as fh:
+        fh.write(build_pdf(cmap_id, by_id[cmap_id], compress=True,
+                           font_mode="cmap"))
+    cjk_id = docx_ids[15]
+    with open(os.path.join(FIXTURES, f"doc_{cjk_id}.pdf"), "wb") as fh:
+        fh.write(build_pdf(cjk_id, cjk_text(cjk_id), compress=True,
+                           font_mode="ucs2"))
 
     # PDF 1.5 object-stream layout (catalog/pages/font inside /ObjStm)
     objstm_id = docx_ids[13]
