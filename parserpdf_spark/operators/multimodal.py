@@ -8,13 +8,18 @@ Decode tiers:
   bottom-up BGR rows, 4-byte row padding) backs
   ``decode_features_real``, which computes genuine per-image pixel
   statistics (mean channel values, brightness) over Arrow batches.
-- **Stub for compressed formats**: JPEG/PNG/audio/video codecs aren't
-  in this container, so ``decode_image_real`` raises
+- **Real decode for baseline JPEG**: the dominant compressed image
+  format decodes through the from-scratch T.81 codec
+  (kernels/jpeg.py — Huffman + IDCT over numpy); ``decode_image_auto``
+  magic-dispatches BMP vs JPEG payloads, so the /DCTDecode bytes the
+  PDF kernel surfaces yield genuine pixel features.
+- **Stub for the remaining compressed formats**: PNG/MP3/H.264 codecs
+  aren't in this container, so ``decode_image_real`` raises
   NotImplementedError unless PIL is importable, and the gated default
   pipeline uses ``_fake_decode`` — a deterministic pure function of the
   bytes.  Everything Spark-side (schema, binary columns, batch
   iteration, UDF signatures, partitioning) is real and tested; swapping
-  the stub for a real codec changes no dataflow (the BMP tier proves
+  a stub for a real codec changes no dataflow (the BMP/JPEG tiers prove
   it end-to-end).
 
 The reference handles media as PIL images written to per-doc dirs
@@ -229,11 +234,57 @@ def attach_bmp_payloads(docs: DataFrame) -> DataFrame:
     return _attach_media(docs, "img_{doc_id}.bmp", make)
 
 
+def jpeg_source_pixels(nid: int):
+    """The known source pixels of :func:`attach_jpeg_payloads`' image
+    for one doc — exposed so oracles can recompute features from the
+    ORIGINAL pixels, independent of the decoder under test.  Smooth
+    gradients (not noise) keep decode error ≈ rounding, so a
+    decoded-vs-source tolerance is a meaningful correctness check."""
+    import numpy as np
+
+    w, h = 24 + nid % 13, 16 + nid % 9
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255) // max(w - 1, 1)
+    g = (yy * 255) // max(h - 1, 1)
+    b = ((xx + yy) * 255) // max(w + h - 2, 1)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def attach_jpeg_payloads(docs: DataFrame, quality: int = 92,
+                         subsample: bool = False) -> DataFrame:
+    """Deterministic REAL JPEGs: one baseline JFIF image per doc
+    (kernels/jpeg.py encoder over :func:`jpeg_source_pixels`) — the
+    compressed-format twin of :func:`attach_bmp_payloads`."""
+    from parserpdf_spark.kernels.jpeg import encode_jpeg_baseline
+
+    def make(nid: int) -> bytes:
+        return encode_jpeg_baseline(
+            jpeg_source_pixels(nid), quality=quality, subsample=subsample
+        )
+
+    return _attach_media(docs, "img_{doc_id}.jpg", make)
+
+
+def decode_image_auto(payload: bytes):
+    """Magic-dispatched real image decode: BMP (``BM``) or baseline
+    JPEG (``FF D8``) → (width, height, HxWx3 uint8 RGB).  Raises
+    ValueError outside both subsets."""
+    data = bytes(payload)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        from parserpdf_spark.kernels.jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(data)
+    raise ValueError("unrecognized image magic (not BMP or JPEG)")
+
+
 def decode_features_real(media: DataFrame) -> DataFrame:
-    """REAL decode + feature extraction: BMP payloads → dimensions and
-    per-channel pixel statistics, keep-with-status per row (a payload
-    outside the codec's subset yields decode_ok=false + nulls, never a
-    task failure).  Same mapInPandas shape as the stubbed tier."""
+    """REAL decode + feature extraction: BMP or baseline-JPEG payloads
+    (kernels/jpeg.py, from-scratch T.81) → dimensions and per-channel
+    pixel statistics, keep-with-status per row (a payload outside the
+    codec subsets yields decode_ok=false + nulls, never a task
+    failure).  Same mapInPandas shape as the stubbed tier."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,7 +297,7 @@ def decode_features_real(media: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["media_ref"].append(ref)
                 try:
-                    w, h, arr = decode_bmp(bytes(payload))
+                    w, h, arr = decode_image_auto(bytes(payload))
                     means = arr.reshape(-1, 3).mean(axis=0)
                 except ValueError:
                     out["decode_ok"].append(False)

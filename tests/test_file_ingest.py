@@ -380,13 +380,13 @@ def test_pdf_embedded_image_spans_and_payload():
     from parserpdf_spark.sources.files import file_media_rows, route_file
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
-    from make_file_fixtures import FAKE_JPEG
+    from make_file_fixtures import EMBEDDED_JPEG
 
     data = _fixture_bytes("doc_31.pdf")
     blocks, media = pdf_to_blocks_and_media(data)
     img = [b for b in blocks if b.get("media_ref")]
     assert len(img) == 1 and img[0]["media_ref"] == "_page_0_Im1_obj102.jpeg"
-    assert media == [{"media_ref": "_page_0_Im1_obj102.jpeg", "payload": FAKE_JPEG}]
+    assert media == [{"media_ref": "_page_0_Im1_obj102.jpeg", "payload": EMBEDDED_JPEG}]
 
     # routed spans carry the ref in the span's media_ref column
     routed = route_file("/x/doc_31.pdf", data)
@@ -395,7 +395,7 @@ def test_pdf_embedded_image_spans_and_payload():
 
     rows = file_media_rows("/x/doc_31.pdf", data)
     assert rows == [{"doc_id": "doc_31", "media_ref": "_page_0_Im1_obj102.jpeg",
-                     "payload": FAKE_JPEG}]
+                     "payload": EMBEDDED_JPEG}]
     # docx embedded media surfaces too (word/media/figure1.png)
     drows = file_media_rows("/x/doc_1.docx", _fixture_bytes("doc_1.docx"))
     assert [r["media_ref"] for r in drows] == ["media/figure1.png"]
@@ -410,7 +410,7 @@ def test_image_payloads_land_on_disk_via_k2_sink(spark, tmp_path):
     from parserpdf_spark.sources.files import files_to_media
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
-    from make_file_fixtures import FAKE_JPEG
+    from make_file_fixtures import EMBEDDED_JPEG
 
     files = scan_files(spark, FIXTURES, "doc_31.pdf", with_content=True)
     media = files_to_media(files)
@@ -418,7 +418,7 @@ def test_image_payloads_land_on_disk_via_k2_sink(spark, tmp_path):
     n = export_image_payloads(media, out)
     assert n == 1
     with open(os.path.join(out, "doc_31", "_page_0_Im1_obj102.jpeg"), "rb") as fh:
-        assert fh.read() == FAKE_JPEG
+        assert fh.read() == EMBEDDED_JPEG
 
 
 def test_image_pdf_extracts_interleaved_image_span(spark):

@@ -366,11 +366,23 @@ def cjk_text(nid: int) -> str:
     )
 
 
-FAKE_JPEG = (
-    b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01"
-    + bytes(range(48)) * 4
-    + b"\xff\xd9"
-)
+def _embedded_jpeg() -> bytes:
+    """The 64x48 image embedded in the image-bearing PDF fixture: a
+    REAL baseline JPEG (from-scratch kernels/jpeg.py encoder) over a
+    deterministic gradient, so the /DCTDecode payload the PDF kernel
+    surfaces byte-for-byte is decodable to known pixels."""
+    import numpy as np
+
+    from parserpdf_spark.kernels.jpeg import encode_jpeg_baseline
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    pixels = np.stack([
+        (xx * 255) // 63, (yy * 255) // 47, ((xx + yy) * 255) // 110,
+    ], axis=-1).astype(np.uint8)
+    return encode_jpeg_baseline(pixels, quality=90)
+
+
+EMBEDDED_JPEG = _embedded_jpeg()
 
 
 def build_pdf(
@@ -486,8 +498,8 @@ def build_pdf(
             b"<< /Type /XObject /Subtype /Image /Width 64 /Height 48 "
             b"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
             b"/Filter /DCTDecode "
-            + f"/Length {len(FAKE_JPEG)} >>".encode()
-            + b"\nstream\n" + FAKE_JPEG + b"\nendstream"
+            + f"/Length {len(EMBEDDED_JPEG)} >>".encode()
+            + b"\nstream\n" + EMBEDDED_JPEG + b"\nendstream"
         )
     for k in range(n_pages):
         content = "\n".join(pages_ops[k]).encode("latin-1")
