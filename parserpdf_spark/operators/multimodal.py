@@ -220,18 +220,20 @@ def _attach_media(docs: DataFrame, ref_fmt: str, make_payload) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=MEDIA_DDL)
 
 
-def attach_bmp_payloads(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL images: one small 24-bit BMP per doc, pixels
-    seeded from doc_id (numpy PCG64) — same bytes every run, every
-    engine, so downstream feature values are reproducible."""
+def bmp_payload(nid: int) -> bytes:
+    """Deterministic REAL image bytes for one doc id: a small 24-bit
+    BMP with PCG64-seeded pixels — same bytes every run, every engine.
+    Module-level so the golden generator reuses the EXACT producer."""
     import numpy as np
 
-    def make(nid: int) -> bytes:
-        rng = np.random.default_rng(nid)
-        w, h = 16 + nid % 17, 12 + nid % 11
-        return encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+    rng = np.random.default_rng(nid)
+    w, h = 16 + nid % 17, 12 + nid % 11
+    return encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
 
-    return _attach_media(docs, "img_{doc_id}.bmp", make)
+
+def attach_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL images: one small 24-bit BMP per doc."""
+    return _attach_media(docs, "img_{doc_id}.bmp", bmp_payload)
 
 
 def jpeg_source_pixels(nid: int):
@@ -250,17 +252,23 @@ def jpeg_source_pixels(nid: int):
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-def attach_jpeg_payloads(docs: DataFrame, quality: int = 92,
-                         subsample: bool = False) -> DataFrame:
-    """Deterministic REAL JPEGs: one baseline JFIF image per doc
-    (kernels/jpeg.py encoder over :func:`jpeg_source_pixels`) — the
-    compressed-format twin of :func:`attach_bmp_payloads`."""
+def jpeg_payload(nid: int, quality: int = 92, subsample: bool = False) -> bytes:
+    """Deterministic REAL baseline-JPEG bytes for one doc id
+    (kernels/jpeg.py encoder over :func:`jpeg_source_pixels`)."""
     from parserpdf_spark.kernels.jpeg import encode_jpeg_baseline
 
+    return encode_jpeg_baseline(
+        jpeg_source_pixels(nid), quality=quality, subsample=subsample
+    )
+
+
+def attach_jpeg_payloads(docs: DataFrame, quality: int = 92,
+                         subsample: bool = False) -> DataFrame:
+    """Deterministic REAL JPEGs: one baseline JFIF image per doc — the
+    compressed-format twin of :func:`attach_bmp_payloads`."""
+
     def make(nid: int) -> bytes:
-        return encode_jpeg_baseline(
-            jpeg_source_pixels(nid), quality=quality, subsample=subsample
-        )
+        return jpeg_payload(nid, quality=quality, subsample=subsample)
 
     return _attach_media(docs, "img_{doc_id}.jpg", make)
 
@@ -530,21 +538,34 @@ def decode_avi_frames(payload: bytes):
     return width, height, frames
 
 
-def attach_avi_payloads(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL video: a few-frame uncompressed AVI per doc
-    (seeded PCG64 frames) — byte-stable every run."""
+def avi_payload(nid: int) -> bytes:
+    """Deterministic REAL video bytes for one doc id: a few-frame
+    uncompressed AVI (seeded PCG64 frames) — byte-stable every run."""
     import numpy as np
 
-    def make(nid: int) -> bytes:
-        rng = np.random.default_rng(nid + 2 * 10**9)
-        w, h = 8 + nid % 5, 6 + nid % 3
-        frames = [
-            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            for _ in range(3 + nid % 4)
-        ]
-        return encode_avi_frames(frames, w, h)
+    rng = np.random.default_rng(nid + 2 * 10**9)
+    w, h = 8 + nid % 5, 6 + nid % 3
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for _ in range(3 + nid % 4)
+    ]
+    return encode_avi_frames(frames, w, h)
 
-    return _attach_media(docs, "vid_{doc_id}.avi", make)
+
+def attach_avi_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video: a few-frame uncompressed AVI per doc."""
+    return _attach_media(docs, "vid_{doc_id}.avi", avi_payload)
+
+
+def corrupt_image_payload(nid: int) -> bytes:
+    """A deterministically-truncated JPEG — exercises the
+    decode_ok=false keep-with-status arm of the real decode tier."""
+    return jpeg_payload(nid)[: 24 + nid % 40]
+
+
+def corrupt_avi_payload(nid: int) -> bytes:
+    """A deterministically-truncated AVI for the frame-sampling arm."""
+    return avi_payload(nid)[: 16 + nid % 24]
 
 
 def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
