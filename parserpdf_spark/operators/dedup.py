@@ -625,18 +625,20 @@ def ngram_contamination(
     """Train/eval decontamination: for every training doc, how many of
     its distinct word ``n``-grams appear in ANY eval doc (and the flag).
 
-    Shape: two shingle sets joined on the shingle — Σ|bucket|² like
-    :func:`jaccard_pairs`, with the eval side distinct-ed first (eval
-    sets are small relative to the corpus; the join key can be hashed
-    with :func:`md5_60` to shrink the shuffle at extreme scale).  Every
-    train doc appears in the output (clean docs with 0 hits) — the
-    keep-with-status contract."""
+    Shape: the eval shingle set is distinct-ed and BROADCAST — eval
+    suites are small by construction (thousands of docs vs the corpus'
+    billions), so the semi-join runs map-side against every train
+    partition with NO shuffle of the exploded train shingles (the
+    dominant volume; a shuffle of it would dwarf everything else in the
+    job).  Asserted in tests/test_plans.py.  Every train doc appears in
+    the output (clean docs with 0 hits) — the keep-with-status
+    contract."""
     t = word_shingles(train, n=n, text_col=text_col)
     e = word_shingles(eval_docs, n=n, text_col=text_col).select(
         "shingle"
     ).distinct()
     hits = (
-        t.join(e, "shingle", "left_semi")
+        t.join(F.broadcast(e), "shingle", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated_ngrams"))
     )

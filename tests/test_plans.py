@@ -149,6 +149,18 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_med):
     assert node_count(plan_of(df), "BroadcastHashJoin") >= 1
 
 
+def test_decontamination_broadcasts_eval_shingles(spark, sf_med):
+    """The eval shingle set is small by construction; the semi-join must
+    broadcast it so the exploded TRAIN shingles (the dominant volume at
+    100 TB) are never shuffled on the join key."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_decontamination(spark, sf_med))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge semi-join on the shingle anywhere in the plan
+    assert "SortMergeJoin LeftSemi" not in plan
+
+
 def test_minhash_is_one_aggregate_no_perm_explode(spark, sf_small):
     """64 permutations ride ONE partial+final aggregate pair (map-side
     combine), not a 64× exploded shuffle."""
