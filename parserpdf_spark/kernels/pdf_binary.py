@@ -1340,6 +1340,24 @@ def _image_payload(objects: dict[int, bytes], num: int) -> bytes:
 # Entry points
 # ---------------------------------------------------------------------------
 
+class PdfUnsupported(ValueError):
+    """A PDF outside the built-in subset, with a triage ``category`` so
+    a 100 TB ingest can route each class differently (the reference
+    exposes ``force_ocr`` and Marker OCRs scanned pages,
+    ``converters/extraction_converter.py:111-114``):
+
+    - ``"encrypted"``   — needs decryption, no parser will help
+    - ``"needs_ocr"``   — image-bearing but no text layer: an OCR pass
+      (not a better parser) is the fix
+    - ``"unsupported_feature"`` — digital text may exist but uses a
+      feature this kernel doesn't decode; the external pre-chunker can
+    """
+
+    def __init__(self, message: str, category: str = "unsupported_feature"):
+        super().__init__(message)
+        self.category = category
+
+
 def pdf_to_blocks_and_media(
     data: bytes,
 ) -> tuple[list[dict], list[dict]]:
@@ -1348,15 +1366,18 @@ def pdf_to_blocks_and_media(
     Blocks are the layout kernel's input contract; media blocks carry
     ``media_ref`` and payload rows are ``{"media_ref", "payload"}`` for
     the K2 image sink.  Raises ValueError when the file is outside the
-    supported subset (not a PDF, encrypted, no parseable text) — the
-    ingestion bridge maps that to the external pre-chunker contract,
-    never silent loss.
+    supported subset — :class:`PdfUnsupported` with a triage category
+    for encrypted / scanned(no-text-layer) / unsupported-feature, plain
+    ValueError for malformed structure — the ingestion bridge maps both
+    to keep-with-status rows, never silent loss.
     """
     if not bytes(data).startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     data = bytes(data)
     if b"/Encrypt" in data:
-        raise ValueError("encrypted PDF — external pre-chunker required")
+        raise PdfUnsupported(
+            "encrypted PDF — decryption required", category="encrypted"
+        )
 
     objects = _parse_objects(data)
     page_nums = _page_numbers(objects)
@@ -1459,7 +1480,16 @@ def pdf_to_blocks_and_media(
             n_text_blocks += len(f_text)
         n_text_blocks += len(text_blocks)
     if n_text_blocks == 0:
-        raise ValueError("no extractable text (scanned/image-only PDF?)")
+        n_imgs = sum(1 for b in blocks if b.get("media_ref")) or len(media)
+        if n_imgs:
+            raise PdfUnsupported(
+                f"no text layer but {n_imgs} image(s) present — "
+                "scanned PDF, OCR required", category="needs_ocr",
+            )
+        raise PdfUnsupported(
+            "no extractable text and no images",
+            category="unsupported_feature",
+        )
     # page and form resource namespaces can reuse XObject names: one
     # payload per distinct media_ref
     seen: set[str] = set()

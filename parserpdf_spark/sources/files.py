@@ -20,14 +20,16 @@ Routing (keep-with-status, mirroring the reference's extension gate at
   from-scratch CFB + piece-table kernel (kernels/doc_extract.py, text
   only); outside-subset files become ``ingest_status="error"`` rows
 - ``.pdf``            → text-bearing PDFs parse from scratch
-  (kernels/pdf_binary.py: object/stream framing, FlateDecode, width
-  tables, Type0/Identity-H, text operators, image XObjects) into
+  (kernels/pdf_binary.py: object/stream framing, filter chains, width
+  tables, Type0/CID CMaps, text operators, image XObjects) into
   ``pdf_block`` spans — embedded images become media-carrying blocks —
   that feed the existing layout kernel.  PDFs outside the built-in
-  subset (encrypted, scanned/image-only, exotic encodings) keep the
-  external pre-chunker contract: ``ingest_status="needs_prechunk"``,
-  spans to be supplied as JSON ``{page,bbox,font_size,text}`` blocks by
-  the pre-chunker.
+  subset are TRIAGED by why they failed:
+  ``ingest_status="encrypted"`` (route to decryption),
+  ``"needs_ocr"`` (image-bearing, no text layer — route to an OCR
+  fleet), ``"needs_prechunk"`` (a feature gap; spans to be supplied as
+  JSON ``{page,bbox,font_size,text}`` blocks by the external
+  pre-chunker).
 - ``.md``/``.markdown`` → one ``kind="markdown"`` passthrough span (the
   reference collects markdown as-is, ``utils/file_utils.py:465-471``)
 - anything else       → ``ingest_status="skipped"``
@@ -110,8 +112,11 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
             row["ingest_error"] = str(exc)
     elif suffix == ".pdf":
         # text-bearing PDFs parse from scratch (kernels/pdf_binary.py);
-        # anything outside that subset (encrypted, scanned/image-only,
-        # exotic encodings) keeps the external pre-chunker contract
+        # files outside the built-in subset are TRIAGED, not lumped: a
+        # 100 TB ingest routes encrypted files to decryption, scanned
+        # files to an OCR fleet, and only genuine feature gaps to the
+        # external pre-chunker (the reference's force_ocr knob,
+        # converters/extraction_converter.py:111-114, is the same split)
         import json
 
         from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
@@ -124,11 +129,16 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
                 for i, b in enumerate(blocks)
             ]
         except ValueError as exc:
-            row["ingest_status"] = "needs_prechunk"
-            row["ingest_error"] = (
-                f"outside the built-in pdf subset ({exc}); feed the "
-                "external pre-chunker's pdf_block spans instead"
-            )
+            category = getattr(exc, "category", None)
+            if category in ("encrypted", "needs_ocr"):
+                row["ingest_status"] = category
+                row["ingest_error"] = str(exc)
+            else:
+                row["ingest_status"] = "needs_prechunk"
+                row["ingest_error"] = (
+                    f"outside the built-in pdf subset ({exc}); feed the "
+                    "external pre-chunker's pdf_block spans instead"
+                )
     elif suffix in (".md", ".markdown"):
         try:
             row["spans"] = [{

@@ -97,7 +97,8 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 36, "error": 1, "needs_prechunk": 1, "skipped": 2}
+    assert statuses == {"ok": 36, "error": 1, "needs_prechunk": 1,
+                        "skipped": 2, "encrypted": 1, "needs_ocr": 1}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
@@ -167,6 +168,7 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
         "ok": 36, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "encrypted": 1, "needs_ocr": 1,
     }
     assert report["docs_by_status"] == {"ok": 36}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
@@ -958,3 +960,29 @@ def test_inline_image_exact_length_keeps_whitespace_tail():
     )
     _, media2 = pdf_to_blocks_and_media(_mini_pdf(b"", b"", content2))
     assert media2[0]["payload"] == b"".join(rows)
+
+
+def test_pdf_triage_classes():
+    """Outside-subset PDFs are triaged by WHY: encrypted / needs_ocr
+    (image-bearing, no text layer) / needs_prechunk (feature gap) —
+    distinct routes for a 100 TB ingest (decryption vs OCR fleet vs
+    external pre-chunker)."""
+    row = route_file("/x/locked_4.pdf", _fixture_bytes("locked_4.pdf"))
+    assert row["ingest_status"] == "encrypted"
+    assert "decryption" in row["ingest_error"]
+
+    row = route_file("/x/scanned_3.pdf", _fixture_bytes("scanned_3.pdf"))
+    assert row["ingest_status"] == "needs_ocr"
+    assert "OCR" in row["ingest_error"]
+
+    # a feature gap (progressive-style: form with rotation) stays
+    # needs_prechunk; plain garbage too
+    assert route_file("/x/a.pdf", b"%PDF-1.4 junk")["ingest_status"] == \
+        "needs_prechunk"
+
+    # an image-free, text-free pdf is a feature gap, NOT needs_ocr
+    empty = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+             b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+             b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
+             b"5 0 obj\n<< /Length 4 >>\nstream\nq Q\nendstream\nendobj\n")
+    assert route_file("/x/empty.pdf", empty)["ingest_status"] == "needs_prechunk"

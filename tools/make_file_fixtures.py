@@ -559,6 +559,34 @@ def build_pdf(
     return bytes(out)
 
 
+def build_scanned_pdf() -> bytes:
+    """A scanned-style PDF: one page whose content is a single
+    full-page image XObject Do — a real text-layer-absent document, so
+    the triage path classifies it ``needs_ocr`` (not a parse error)."""
+    content = b"q 512 0 0 660 50 80 cm /Im1 Do Q"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /XObject << /Im1 102 0 R >> >> "
+            b"/Contents 5 0 R >>"),
+        5: (f"<< /Length {len(content)} >>".encode()
+            + b"\nstream\n" + content + b"\nendstream"),
+        102: (
+            b"<< /Type /XObject /Subtype /Image /Width 64 /Height 48 "
+            b"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+            b"/Filter /DCTDecode "
+            + f"/Length {len(EMBEDDED_JPEG)} >>".encode()
+            + b"\nstream\n" + EMBEDDED_JPEG + b"\nendstream"
+        ),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for n in sorted(objs):
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
 def build_corpus() -> None:
     src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
@@ -648,6 +676,16 @@ def build_corpus() -> None:
         fh.write(b"this is not an OOXML zip archive")
     with open(os.path.join(FIXTURES, "report_7.pdf"), "wb") as fh:
         fh.write(b"%PDF-1.4\n% fake binary for the pre-chunker contract\n")
+    # PDF triage classes: scanned (image XObject, no text layer) and
+    # encrypted — distinct statuses so a 100 TB ingest can route them
+    with open(os.path.join(FIXTURES, "scanned_3.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf())
+    with open(os.path.join(FIXTURES, "locked_4.pdf"), "wb") as fh:
+        fh.write(
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"3 0 obj\n<< /Filter /Standard /V 2 /R 3 >>\nendobj\n"
+            b"trailer\n<< /Root 1 0 R /Encrypt 3 0 R >>\n%%EOF\n"
+        )
     with open(os.path.join(FIXTURES, "readme_1.txt"), "w") as fh:
         fh.write("plain text sidecar, not an extraction input\n")
     with open(os.path.join(FIXTURES, "LICENSE"), "w") as fh:
