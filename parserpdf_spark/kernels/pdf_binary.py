@@ -342,38 +342,94 @@ def _ascii85_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _decode_parms_list(head: bytes, n: int) -> tuple[list[bytes | None], bool]:
+    """The /DecodeParms (or /DP) value → (per-stage dict bytes, aligned).
+
+    ``aligned=True`` means the array form was present, so entry i
+    belongs to filter stage i (``null`` entries → None) — the PDF 7.4.1
+    chained-filter contract.  A single ``<< … >>`` dict or no key at
+    all returns aligned=False (legacy head-level parameter scope).
+    Indirect refs are outside the subset and raise."""
+    m = re.search(rb"/(?:DecodeParms|DP)\b\s*", head)
+    if m is None:
+        return [None] * n, False
+    at = m.end()
+    if head[at:at + 4] == b"null":
+        return [None] * n, False
+    if head[at:at + 2] == b"<<":
+        return [_balanced(head, at, b"<<", b">>")] + [None] * (n - 1), False
+    if re.match(rb"\d+\s+\d+\s+R", head[at:]):
+        raise ValueError("indirect /DecodeParms unsupported")
+    if head[at:at + 1] != b"[":
+        raise ValueError("unparseable /DecodeParms value")
+    arr = _balanced(head, at, b"[", b"]")
+    out: list[bytes | None] = []
+    pos = 1  # past '['
+    end = len(arr) - 1
+    while pos < end:
+        c = arr[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif arr[pos:pos + 4] == b"null":
+            out.append(None)
+            pos += 4
+        elif arr[pos:pos + 2] == b"<<":
+            d = _balanced(arr, pos, b"<<", b">>")
+            out.append(d)
+            pos += len(d)
+        else:
+            raise ValueError("unparseable /DecodeParms array entry")
+    if len(out) > n:
+        raise ValueError("/DecodeParms array longer than /Filter array")
+    out += [None] * (n - len(out))
+    return out, True
+
+
 def _apply_filters(head: bytes, data: bytes) -> bytes:
     """Run the object's /Filter pipeline (a single name or an array, in
     order).  DCTDecode/JPXDecode stay raw (image payloads pass through);
-    PNG/TIFF predictors reverse after the (single) Flate/LZW stage;
-    unknown filters, invalid predictor values, predictors without a
-    decompression stage, and predictor chains with multiple Flate/LZW
-    stages (per-stage /DecodeParms alignment is out of scope) all raise
-    — the pre-chunker contract, never silent garbage."""
+    PNG/TIFF predictors reverse after each Flate/LZW stage using that
+    stage's OWN /DecodeParms entry when the array form is present
+    (chained Flate+predictor streams round-trip); unknown filters,
+    invalid predictor values, predictors without a decompression stage,
+    and the ambiguous legacy case (a single head-level /Predictor over
+    multiple Flate/LZW stages with no array to align) all raise — the
+    pre-chunker contract, never silent garbage."""
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
     if fm is None:
         return data
     names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
-    pm = re.search(rb"/Predictor\s+(\d+)", head)
-    predictor = int(pm.group(1)) if pm else 1
-    if predictor > 1:
-        n_decomp = sum(1 for n in names if n in (b"FlateDecode", b"LZWDecode"))
-        if n_decomp == 0:
-            raise ValueError(
-                "/Predictor declared without a Flate/LZW stage to apply it"
+    parms, aligned = _decode_parms_list(head, len(names))
+    if not aligned:
+        pm = re.search(rb"/Predictor\s+(\d+)", head)
+        predictor = int(pm.group(1)) if pm else 1
+        if predictor > 1:
+            n_decomp = sum(
+                1 for nm in names if nm in (b"FlateDecode", b"LZWDecode")
             )
-        if n_decomp > 1:
-            raise ValueError(
-                "/Predictor with multiple decompression stages — per-stage "
-                "/DecodeParms alignment unsupported"
-            )
+            if n_decomp == 0:
+                raise ValueError(
+                    "/Predictor declared without a Flate/LZW stage to apply it"
+                )
+            if n_decomp > 1:
+                raise ValueError(
+                    "/Predictor with multiple decompression stages and no "
+                    "/DecodeParms array to align them"
+                )
 
-    def unpredict(decoded: bytes) -> bytes:
+    def unpredict(decoded: bytes, i: int) -> bytes:
+        # the stage's own parms dict when aligned; the legacy head-wide
+        # scope otherwise (a single dict's keys are found there too)
+        src = parms[i] if aligned else head
+        if src is None:
+            return decoded
+        pm = re.search(rb"/Predictor\s+(\d+)", src)
+        predictor = int(pm.group(1)) if pm else 1
         if predictor <= 1:
             return decoded
-        cm = re.search(rb"/Columns\s+(\d+)", head)
-        km = re.search(rb"/Colors\s+(\d+)", head)
-        bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+        cm = re.search(rb"/Columns\s+(\d+)", src)
+        km = re.search(rb"/Colors\s+(\d+)", src)
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", src)
         return _png_unpredict(
             decoded, predictor,
             int(cm.group(1)) if cm else 1,
@@ -381,14 +437,14 @@ def _apply_filters(head: bytes, data: bytes) -> bytes:
             int(bm.group(1)) if bm else 8,
         )
 
-    for name in names:
+    for i, name in enumerate(names):
         if name == b"FlateDecode":
             try:
-                data = unpredict(zlib.decompress(data))
+                data = unpredict(zlib.decompress(data), i)
             except zlib.error as exc:
                 raise ValueError(f"broken FlateDecode stream: {exc}") from exc
         elif name == b"LZWDecode":
-            data = unpredict(_lzw_decode(data))
+            data = unpredict(_lzw_decode(data), i)
         elif name == b"RunLengthDecode":
             data = _runlength_decode(data)
         elif name == b"ASCIIHexDecode":

@@ -986,3 +986,45 @@ def test_pdf_triage_classes():
              b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
              b"5 0 obj\n<< /Length 4 >>\nstream\nq Q\nendstream\nendobj\n")
     assert route_file("/x/empty.pdf", empty)["ingest_status"] == "needs_prechunk"
+
+
+def test_pdf_per_stage_decode_parms_chained_filters():
+    """A /Filter array with a /DecodeParms ARRAY applies each stage's
+    own predictor (PDF 7.4.1 alignment): double-Flate with different
+    per-stage PNG predictors round-trips; null entries skip a stage;
+    the legacy single head-level /Predictor over multiple stages stays
+    an explicit raise (ambiguous, not guessable)."""
+    import zlib
+
+    from parserpdf_spark.kernels.pdf_binary import _apply_filters
+
+    def png_predict_up(raw: bytes, cols: int) -> bytes:
+        rows = [raw[i:i + cols] for i in range(0, len(raw), cols)]
+        out = bytearray()
+        prev = bytes(cols)
+        for r in rows:
+            out += b"\x02" + bytes((a - b) & 0xFF for a, b in zip(r, prev))
+            prev = r
+        return bytes(out)
+
+    raw = bytes(range(64)) * 4
+    outer = zlib.compress(png_predict_up(zlib.compress(
+        png_predict_up(raw, 8)), 1))
+    head = (b"<< /Filter [/FlateDecode /FlateDecode] /DecodeParms "
+            b"[<< /Predictor 12 /Columns 1 >> "
+            b"<< /Predictor 12 /Columns 8 >>] /Length 1 >>")
+    assert _apply_filters(head, outer) == raw
+
+    outer2 = zlib.compress(png_predict_up(zlib.compress(raw), 1))
+    head2 = (b"<< /Filter [/FlateDecode /FlateDecode] /DecodeParms "
+             b"[<< /Predictor 12 /Columns 1 >> null] /Length 1 >>")
+    assert _apply_filters(head2, outer2) == raw
+
+    head4 = (b"<< /Filter [/FlateDecode /FlateDecode] "
+             b"/Predictor 12 /Columns 8 /Length 1 >>")
+    with pytest.raises(ValueError, match="no\\s+/DecodeParms array"):
+        _apply_filters(head4, outer2)
+
+    head5 = b"<< /Filter /FlateDecode /DecodeParms 9 0 R /Length 1 >>"
+    with pytest.raises(ValueError, match="indirect"):
+        _apply_filters(head5, zlib.compress(raw))
