@@ -18,10 +18,15 @@ carries digital text is parsed from scratch per the public [MS-CFB] and
 
 Output is the same normalized HTML dialect the docx shim emits
 (``<body><article>…``) so documents flow through the one extraction
-kernel.  Scope (honest): text only — no style decoding (every paragraph
-is a ``<p>``; .doc headings need stylesheet (STSH) interpretation),
-no tables, no embedded objects.  Anything outside the subset raises
-ValueError → the dispatcher's ``status="error"`` contract.
+kernel.  Paragraph styles decode far enough to classify built-in
+Heading-N paragraphs: the STSH style sheet maps istd → sti (headings
+are sti 1..9), and PlcfBtePapx → PAPX FKP pages map each paragraph
+mark's FC to its istd — styled paragraphs become ``<hN>``.  Scope
+(honest): heading classification only (no character formatting), no
+tables, no embedded objects; style structures that fail to parse
+degrade to all-``<p>`` without losing text.  Anything outside the core
+text subset raises ValueError → the dispatcher's ``status="error"``
+contract.
 """
 
 from __future__ import annotations
@@ -174,20 +179,9 @@ def _clx_pieces(clx: bytes) -> list[tuple[int, int, int, bool]]:
     return pieces
 
 
-def doc_to_text(data: bytes) -> str:
-    """.doc bytes → the main-document text (paragraph marks as \\r).
-
-    All malformed-input failures surface as ValueError (the dispatcher's
-    keep-with-status contract): struct.error from truncated/misaligned
-    buffers is translated at this boundary.
-    """
-    try:
-        return _doc_to_text(bytes(data))
-    except struct.error as exc:
-        raise ValueError(f"malformed .doc structure: {exc}") from exc
-
-
-def _doc_to_text(data: bytes) -> str:
+def _doc_internals(data: bytes):
+    """Shared FIB/CLX parse → (word stream, table stream, pieces,
+    ccp_text)."""
     cfb = _Cfb(data)
     word = cfb.stream("WordDocument")
     if word is None or len(word) < 0x200:
@@ -206,8 +200,28 @@ def _doc_to_text(data: bytes) -> str:
     if table is None or lcb_clx == 0:
         raise ValueError(f"no {table_name} stream / empty CLX")
     pieces = _clx_pieces(table[fc_clx : fc_clx + lcb_clx])
+    return word, table, pieces, ccp_text
 
-    out: list[str] = []
+
+def doc_to_text(data: bytes) -> str:
+    """.doc bytes → the main-document text (paragraph marks as \\r).
+
+    All malformed-input failures surface as ValueError (the dispatcher's
+    keep-with-status contract): struct.error from truncated/misaligned
+    buffers is translated at this boundary.
+    """
+    try:
+        return "".join(t for t, _ in _doc_chars(bytes(data)))
+    except struct.error as exc:
+        raise ValueError(f"malformed .doc structure: {exc}") from exc
+
+
+def _doc_chars(data: bytes):
+    """Decoded text runs with their FC geometry:
+    [(text, [(fc_of_first_char, bytes_per_char)])] — yields (run_text,
+    (fc0, step)) per piece so callers can compute any character's FC."""
+    word, table, pieces, ccp_text = _doc_internals(data)
+    out: list[tuple[str, tuple[int, int]]] = []
     remaining = ccp_text
     for cp_start, cp_end, fc, compressed in pieces:
         if remaining <= 0:
@@ -215,26 +229,154 @@ def _doc_to_text(data: bytes) -> str:
         n_cp = min(cp_end - cp_start, remaining)
         if compressed:
             raw = word[fc : fc + n_cp]
-            out.append(raw.decode("cp1252", "replace"))
+            out.append((raw.decode("cp1252", "replace"), (fc, 1)))
         else:
             raw = word[fc : fc + 2 * n_cp]
-            out.append(raw.decode("utf-16-le", "replace"))
+            out.append((raw.decode("utf-16-le", "replace"), (fc, 2)))
         remaining -= n_cp
-    return "".join(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Style sheet (STSH) + paragraph properties (PlcfBtePapx / PAPX FKPs):
+# just enough [MS-DOC] to classify built-in Heading-N paragraphs
+# ---------------------------------------------------------------------------
+
+def _stsh_heading_levels(stsh: bytes) -> dict[int, int]:
+    """STSH bytes → {istd: heading level} for the built-in heading
+    styles (sti 1..9; sti is the low 12 bits of the STD's first
+    uint16).  Styles outside that set are simply absent."""
+    if len(stsh) < 6:
+        return {}
+    (cb_stshi,) = struct.unpack_from("<H", stsh, 0)
+    if cb_stshi < 2 or 2 + cb_stshi > len(stsh):
+        return {}
+    (cstd,) = struct.unpack_from("<H", stsh, 2)
+    if cstd > 4096:
+        raise ValueError("implausible STSH style count")
+    pos = 2 + cb_stshi
+    out: dict[int, int] = {}
+    for istd in range(cstd):
+        if pos + 2 > len(stsh):
+            break
+        (cb_std,) = struct.unpack_from("<H", stsh, pos)
+        pos += 2
+        if cb_std == 0:
+            continue  # empty slot
+        std = stsh[pos : pos + cb_std]
+        pos += cb_std + (cb_std & 1)  # LPStds are 2-byte aligned
+        if len(std) >= 2:
+            sti = struct.unpack_from("<H", std, 0)[0] & 0x0FFF
+            if 1 <= sti <= 9:
+                out[istd] = sti
+    return out
+
+
+def _papx_istd_runs(word: bytes, plc: bytes) -> list[tuple[int, int, int]]:
+    """PlcfBtePapx bytes → [(fc_start, fc_lim, istd)] paragraph runs,
+    resolved through the 512-byte PAPX FKP pages in the WordDocument
+    stream."""
+    if len(plc) < 12:
+        return []
+    n = (len(plc) - 4) // 8
+    fcs = [struct.unpack_from("<I", plc, i * 4)[0] for i in range(n + 1)]
+    runs: list[tuple[int, int, int]] = []
+    for i in range(n):
+        (pn,) = struct.unpack_from("<I", plc, (n + 1) * 4 + i * 4)
+        pn &= 0x3FFFFF
+        page = word[pn * 512 : (pn + 1) * 512]
+        if len(page) < 512:
+            raise ValueError("PAPX FKP page out of range")
+        crun = page[511]
+        if crun == 0 or crun > 0x65:
+            raise ValueError("implausible PAPX FKP crun")
+        rgfc = [struct.unpack_from("<I", page, k * 4)[0]
+                for k in range(crun + 1)]
+        for k in range(crun):
+            bx = page[(crun + 1) * 4 + k * 13]
+            if bx == 0:
+                istd = 0  # no PAPX → default properties (Normal)
+            else:
+                off = bx * 2
+                if off + 2 > 511:
+                    raise ValueError("PAPX offset out of page")
+                cb = page[off]
+                if cb == 0:
+                    grp = page[off + 2 : off + 2 + 2 * page[off + 1]]
+                else:
+                    grp = page[off + 1 : off + 1 + 2 * cb - 1]
+                istd = (struct.unpack_from("<H", grp, 0)[0]
+                        if len(grp) >= 2 else 0)
+            runs.append((rgfc[k], rgfc[k + 1], istd))
+        if fcs[i] > rgfc[0] or fcs[i + 1] < rgfc[crun]:
+            # bin-table entry inconsistent with its page — style info is
+            # best-effort; signal so the caller falls back to all-<p>
+            raise ValueError("PlcfBtePapx/FKP fc mismatch")
+    return runs
+
+
+def _doc_paragraph_levels(data: bytes) -> list[tuple[str, int]]:
+    """.doc bytes → [(paragraph text, heading level)] with level 0 for
+    body paragraphs.  Style decoding is BEST-EFFORT: any inconsistency
+    in STSH/PAPX structures degrades to level 0 for all paragraphs (the
+    text itself is never lost) — only the core text path raises."""
+    runs_chars = _doc_chars(data)  # raises for out-of-subset files
+
+    heading: dict[int, int] = {}
+    runs: list[tuple[int, int, int]] = []
+    try:
+        word, table, _, _ = _doc_internals(data)
+        (fc_stsh,) = struct.unpack_from("<I", word, 0x00A2)
+        (lcb_stsh,) = struct.unpack_from("<I", word, 0x00A6)
+        (fc_pap,) = struct.unpack_from("<I", word, 0x0102)
+        (lcb_pap,) = struct.unpack_from("<I", word, 0x0106)
+        if lcb_stsh and lcb_pap:
+            heading = _stsh_heading_levels(table[fc_stsh : fc_stsh + lcb_stsh])
+            if heading:
+                runs = _papx_istd_runs(word, table[fc_pap : fc_pap + lcb_pap])
+    except (ValueError, struct.error, IndexError):
+        heading, runs = {}, []
+
+    def level_at(fc: int) -> int:
+        for lo, hi, istd in runs:
+            if lo <= fc < hi:
+                return heading.get(istd, 0)
+        return 0
+
+    paras: list[tuple[str, int]] = []
+    cur: list[str] = []
+    for text, (fc0, step) in runs_chars:
+        for j, ch in enumerate(text):
+            if ch == "\r":
+                # the paragraph MARK's properties style the paragraph
+                paras.append(("".join(cur), level_at(fc0 + j * step)))
+                cur = []
+            else:
+                cur.append(ch)
+    if cur:
+        paras.append(("".join(cur), 0))
+    return paras
 
 
 def doc_to_html(data: bytes) -> str:
-    """.doc bytes → normalized HTML (every paragraph a ``<p>``; style
-    decoding is out of scope, see module docstring)."""
+    """.doc bytes → normalized HTML, the same dialect the docx shim
+    emits: Heading-N styled paragraphs (via STSH + PAPX istd lookup)
+    become ``<hN>`` (capped at h6), everything else ``<p>``.  Style
+    decode is best-effort — files without parseable style structures
+    degrade to all-``<p>``, never lose text."""
     from html import escape
 
-    text = doc_to_text(data)
+    try:
+        paras = _doc_paragraph_levels(bytes(data))
+    except struct.error as exc:
+        raise ValueError(f"malformed .doc structure: {exc}") from exc
     parts = ["<body><article>"]
-    for para in text.split("\r"):
+    for para, level in paras:
         # strip Word control marks (cell/row 0x07, page break 0x0C,
         # line break 0x0B → space)
         para = para.replace("\x0b", " ").replace("\x0c", "").replace("\x07", "")
         if para.strip():
-            parts.append(f"<p>{escape(para.strip())}</p>")
+            tag = f"h{min(level, 6)}" if level else "p"
+            parts.append(f"<{tag}>{escape(para.strip())}</{tag}>")
     parts.append("</article></body>")
     return "".join(parts)

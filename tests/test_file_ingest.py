@@ -97,12 +97,12 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 36, "error": 1, "needs_prechunk": 1,
+    assert statuses == {"ok": 37, "error": 1, "needs_prechunk": 1,
                         "skipped": 2, "encrypted": 1, "needs_ocr": 1}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 36
+    assert metrics.count() == 37
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -167,10 +167,10 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 36, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 37, "error": 1, "needs_prechunk": 1, "skipped": 2,
         "encrypted": 1, "needs_ocr": 1,
     }
-    assert report["docs_by_status"] == {"ok": 36}
+    assert report["docs_by_status"] == {"ok": 37}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 
@@ -1028,3 +1028,41 @@ def test_pdf_per_stage_decode_parms_chained_filters():
     head5 = b"<< /Filter /FlateDecode /DecodeParms 9 0 R /Length 1 >>"
     with pytest.raises(ValueError, match="indirect"):
         _apply_filters(head5, zlib.compress(raw))
+
+
+def test_doc_stsh_heading_styles():
+    """The styled .doc fixture (STSH + PlcfBtePapx/PAPX FKP) classifies
+    the Heading-1 title paragraph as <h1> → a heading span; the
+    style-free fixture stays all-<p>; style decode failure degrades to
+    text-only, never loses content."""
+    import re
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import build_doc
+
+    from parserpdf_spark.kernels.doc_extract import doc_to_html
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    text = dict(zip(src["doc_id"].astype(int), src["text"]))[40]
+    plain = doc_to_html(build_doc(40, text))
+    styled = doc_to_html(build_doc(40, text, styled=True))
+    assert plain.startswith("<body><article><p>")
+    assert styled.startswith("<body><article><h1>")
+    assert styled.count("<h1>") == 1
+    strip = lambda s: re.sub(r"<[^>]+>", "|", s)  # noqa: E731
+    assert strip(plain) == strip(styled)  # tags differ, text identical
+
+    # corrupt the style pointers so style decode fails: text must
+    # survive, tags degrade to all-<p>.  The FIB starts at the wIdent
+    # magic inside the container; fcPlcfBtePapx sits at FIB+0x0102.
+    import struct
+
+    raw = bytearray(build_doc(40, text, styled=True))
+    fib_at = raw.find(struct.pack("<H", 0xA5EC))
+    assert fib_at > 0
+    struct.pack_into("<I", raw, fib_at + 0x0102, 0xFFFFFF00)
+    degraded = doc_to_html(bytes(raw))
+    assert degraded == plain

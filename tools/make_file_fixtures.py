@@ -270,11 +270,17 @@ def _cfb_container(streams: dict[str, bytes]) -> bytes:
     return body
 
 
-def build_doc(nid: int, text: str) -> bytes:
+def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
     """A real Word-97 binary ``.doc``: CFB container with a WordDocument
     stream (FIB + cp1252 text) and a 1Table stream (CLX piece table) —
     the same heading + paragraph text decomposition as the sibling
-    formats, one piece, compressed encoding."""
+    formats, one piece, compressed encoding.
+
+    ``styled=True`` additionally writes the [MS-DOC] style machinery:
+    an STSH style sheet (Normal at istd 0, ``heading 1`` at istd 1 with
+    sti 1), a 512-byte PAPX FKP page mapping the first paragraph's FC
+    run to istd 1 (cb==0 PapxInFkp form), and the PlcfBtePapx bin table
+    pointing at it — so the title paragraph extracts as a heading."""
     import struct
 
     words = _words(text)
@@ -303,7 +309,46 @@ def build_doc(nid: int, text: str) -> bytes:
     struct.pack_into("<I", fib, 0x01A2, 0)          # fcClx
     struct.pack_into("<I", fib, 0x01A6, len(clx))   # lcbClx
     word_stream = bytes(fib) + raw
-    return _cfb_container({"WordDocument": word_stream, "1Table": clx})
+    table_stream = clx
+
+    if styled:
+        # --- STSH: cbStshi + minimal stshi (cstd=2), then 2 LPStds:
+        # istd 0 = Normal (sti 0), istd 1 = heading 1 (sti 1)
+        stshi = struct.pack("<HH", 2, 10) + bytes(14)  # cstd, cbSTDBase
+        lpstds = (struct.pack("<H", 2) + struct.pack("<H", 0)
+                  + struct.pack("<H", 2) + struct.pack("<H", 1))
+        stsh = struct.pack("<H", len(stshi)) + stshi + lpstds
+
+        # --- PAPX FKP page (512 bytes) in the WordDocument stream at
+        # the next 512-aligned page; 2 runs: title para → istd 1
+        # (PapxInFkp cb==0 form at an even offset), rest → bx 0 (istd 0)
+        fc_first = TEXT_AT
+        fc_head_lim = TEXT_AT + len(paras[0].encode("cp1252")) + 1
+        fc_lim = TEXT_AT + len(raw)
+        page = bytearray(512)
+        struct.pack_into("<III", page, 0, fc_first, fc_head_lim, fc_lim)
+        papx_off = 500  # even; blob = cb(0), cb'(1), istd(2 bytes)
+        page[12] = papx_off // 2          # rgbx[0].bOffset (+12 PHE zeros)
+        page[25] = 0                      # rgbx[1]: no PAPX → istd 0
+        page[papx_off:papx_off + 4] = b"\x00\x01" + struct.pack("<H", 1)
+        page[511] = 2                     # crun
+        pn = -(-len(word_stream) // 512)
+        word_stream = word_stream + b"\x00" * (pn * 512 - len(word_stream))
+        word_stream += bytes(page)
+
+        # --- PlcfBtePapx: [fc_first, fc_lim] → pn
+        bte = struct.pack("<III", fc_first, fc_lim, pn)
+        fc_stsh = len(table_stream)
+        fc_bte = fc_stsh + len(stsh)
+        table_stream = table_stream + stsh + bte
+        fib = bytearray(word_stream[:TEXT_AT])
+        struct.pack_into("<I", fib, 0x00A2, fc_stsh)
+        struct.pack_into("<I", fib, 0x00A6, len(stsh))
+        struct.pack_into("<I", fib, 0x0102, fc_bte)
+        struct.pack_into("<I", fib, 0x0106, len(bte))
+        word_stream = bytes(fib) + word_stream[TEXT_AT:]
+
+    return _cfb_container({"WordDocument": word_stream, "1Table": table_stream})
 
 
 PAGE_W, PAGE_H = 612, 842
@@ -643,10 +688,15 @@ def build_corpus() -> None:
         fh.write(build_pdf(objstm_id, by_id[objstm_id], compress=True,
                            objstm=True))
 
-    # legacy Word binary through the CFB + piece-table kernel
+    # legacy Word binary through the CFB + piece-table kernel: one
+    # style-free (all-<p> degraded path) and one with the STSH/PAPX
+    # style machinery (title paragraph → heading span in the golden)
     doc_id_legacy = docx_ids[12]
     with open(os.path.join(FIXTURES, f"doc_{doc_id_legacy}.doc"), "wb") as fh:
         fh.write(build_doc(doc_id_legacy, by_id[doc_id_legacy]))
+    doc_id_styled = docx_ids[16]
+    with open(os.path.join(FIXTURES, f"doc_{doc_id_styled}.doc"), "wb") as fh:
+        fh.write(build_doc(doc_id_styled, by_id[doc_id_styled], styled=True))
 
     # markdown passthrough fixtures: one plain, one exercising every
     # block kind the splitter handles
