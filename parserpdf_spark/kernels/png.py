@@ -1,0 +1,188 @@
+"""PNG codec from scratch (stdlib zlib + numpy, public PNG spec / RFC
+2083).
+
+Closes the image-stub gap for the web's dominant lossless format: docx
+media parts and HTML figures are overwhelmingly PNG, and the reference
+hands them to PIL (``utils/file_utils.py:562-626``).  Lossless, so
+round-trips are EXACT — the strongest correctness check a codec can
+have.
+
+- **decode_png**: 8-bit depth, color types 0 (gray), 2 (RGB),
+  3 (indexed + PLTE), 4 (gray+alpha), 6 (RGBA); all five row filters
+  (None/Sub/Up/Average/Paeth — the same family the PDF kernel's
+  stream-predictor reverser implements); multiple IDAT chunks; CRC
+  checked per chunk.  Alpha composites over white (the feature stage
+  wants opaque RGB); 16-bit depth and interlacing raise (honest
+  subset).
+- **encode_png**: color type 2 (RGB) or 0 (gray), filter-None rows,
+  one IDAT — minimal but fully valid output with correct CRCs.
+
+Outside-subset and malformed inputs raise ValueError only — the
+keep-with-status contract upstream.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# bytes per pixel before filtering, by color type (8-bit depth)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels) -> bytes:
+    """HxWx3 uint8 RGB (or HxW gray) → PNG bytes (filter-None rows)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_png expects HxWx3 RGB or HxW gray")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("degenerate image dimensions")
+    color_type = 0 if gray else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    flat = arr.reshape(h, -1)
+    for y in range(h):
+        raw.append(0)  # filter None
+        raw += flat[y].tobytes()
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse per-row filters → (h, w*bpp) uint8 samples."""
+    stride = w * bpp
+    if len(data) < h * (stride + 1):
+        raise ValueError("truncated PNG image data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = data[pos]
+        row = np.frombuffer(data, dtype=np.uint8, count=stride,
+                            offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int32) + prev) .astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG row filter {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out
+
+
+def decode_png(payload: bytes):
+    """PNG bytes → (width, height, HxWx3 uint8 RGB array).
+
+    Alpha composites over white; indexed images resolve through PLTE;
+    grayscale expands to 3 equal channels.  Raises ValueError outside
+    the subset (16-bit, interlaced, malformed chunks, bad CRCs)."""
+    data = bytes(payload)
+    if len(data) < 8 or data[:8] != _SIG:
+        raise ValueError("not a PNG (missing signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, gAMA, tRNS…) are skipped; tRNS-keyed
+        # transparency is out of scope (alpha via color types 4/6 only)
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    if not seen_iend:
+        raise ValueError("PNG without IEND (truncated)")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if w == 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("degenerate or implausible PNG dimensions")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} outside the 8-bit subset")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG outside the subset")
+    if not idat:
+        raise ValueError("PNG without IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"broken PNG IDAT stream: {exc}") from exc
+    bpp = _CHANNELS[color_type]
+    samples = _unfilter(raw, h, w, bpp)
+
+    if color_type == 2:
+        rgb = samples.reshape(h, w, 3)
+    elif color_type == 0:
+        g = samples.reshape(h, w)
+        rgb = np.stack([g, g, g], axis=-1)
+    elif color_type == 3:
+        if plte is None:
+            raise ValueError("indexed PNG without PLTE")
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+    elif color_type == 4:
+        ga = samples.reshape(h, w, 2).astype(np.float64)
+        g = ga[..., 0] * (ga[..., 1] / 255.0) + 255.0 * (1 - ga[..., 1] / 255.0)
+        g8 = np.clip(g.round(), 0, 255).astype(np.uint8)
+        rgb = np.stack([g8, g8, g8], axis=-1)
+    else:  # 6: RGBA over white
+        rgba = samples.reshape(h, w, 4).astype(np.float64)
+        a = rgba[..., 3:4] / 255.0
+        rgb = np.clip((rgba[..., :3] * a + 255.0 * (1 - a)).round(),
+                      0, 255).astype(np.uint8)
+    return w, h, rgb

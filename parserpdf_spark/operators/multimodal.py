@@ -8,12 +8,14 @@ Decode tiers:
   bottom-up BGR rows, 4-byte row padding) backs
   ``decode_features_real``, which computes genuine per-image pixel
   statistics (mean channel values, brightness) over Arrow batches.
-- **Real decode for baseline JPEG**: the dominant compressed image
-  format decodes through the from-scratch T.81 codec
-  (kernels/jpeg.py — Huffman + IDCT over numpy); ``decode_image_auto``
-  magic-dispatches BMP vs JPEG payloads, so the /DCTDecode bytes the
-  PDF kernel surfaces yield genuine pixel features.
-- **Stub for the remaining compressed formats**: PNG/MP3/H.264 codecs
+- **Real decode for baseline JPEG and PNG**: the two dominant web image
+  formats decode through from-scratch codecs (kernels/jpeg.py — ITU
+  T.81 Huffman + IDCT over numpy; kernels/png.py — zlib + the five row
+  filters, indexed/alpha variants); ``decode_image_auto``
+  magic-dispatches BMP/JPEG/PNG payloads, so the /DCTDecode bytes the
+  PDF kernel surfaces and the docx ``word/media`` parts yield genuine
+  pixel features.
+- **Stub for the remaining compressed formats**: MP3/H.264 codecs
   aren't in this container, so ``decode_image_real`` raises
   NotImplementedError unless PIL is importable, and the gated default
   pipeline uses ``_fake_decode`` — a deterministic pure function of the
@@ -274,9 +276,9 @@ def attach_jpeg_payloads(docs: DataFrame, quality: int = 92,
 
 
 def decode_image_auto(payload: bytes):
-    """Magic-dispatched real image decode: BMP (``BM``) or baseline
-    JPEG (``FF D8``) → (width, height, HxWx3 uint8 RGB).  Raises
-    ValueError outside both subsets."""
+    """Magic-dispatched real image decode: BMP (``BM``), baseline JPEG
+    (``FF D8``), or PNG (``89 50 4E 47``) → (width, height, HxWx3 uint8
+    RGB).  Raises ValueError outside the subsets."""
     data = bytes(payload)
     if data[:2] == b"BM":
         return decode_bmp(data)
@@ -284,7 +286,11 @@ def decode_image_auto(payload: bytes):
         from parserpdf_spark.kernels.jpeg import decode_jpeg_baseline
 
         return decode_jpeg_baseline(data)
-    raise ValueError("unrecognized image magic (not BMP or JPEG)")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from parserpdf_spark.kernels.png import decode_png
+
+        return decode_png(data)
+    raise ValueError("unrecognized image magic (not BMP, JPEG, or PNG)")
 
 
 def decode_features_real(media: DataFrame) -> DataFrame:

@@ -152,10 +152,18 @@ def build_docx(nid: int, text: str) -> bytes:
                 '<Relationship Id="rId5" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="media/figure1.png"/>'
                 "</Relationships>",
             )
-            zf.writestr(
-                "word/media/figure1.png",
-                b"\x89PNG\r\n\x1a\n" + bytes([nid % 251] * 16),
-            )
+            # a REAL (decodable) PNG: deterministic 8x8 gradient seeded
+            # by nid, so the K2 media payload yields genuine pixels
+            import numpy as np
+
+            from parserpdf_spark.kernels.png import encode_png
+
+            yy, xx = np.mgrid[0:8, 0:8]
+            pix = np.stack([
+                (xx * 255) // 7, (yy * 255) // 7,
+                np.full((8, 8), nid % 251),
+            ], axis=-1).astype(np.uint8)
+            zf.writestr("word/media/figure1.png", encode_png(pix))
     return buf.getvalue()
 
 
