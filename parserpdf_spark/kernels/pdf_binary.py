@@ -56,10 +56,16 @@ images at the Do-time CTM — identity/translation placements extract
 in-place; scaled/rotated/nested forms raise (exact placement can't be
 reproduced, and silent misplacement is worse than the pre-chunker).
 
-Scope (honest): non-encrypted PDFs; predefined CID encodings other than
-Identity-* / UniXX-UCS2 (the raw-charset CMaps needing Adobe registry
-tables, e.g. GBK-EUC-H) raise; no CCITTFax/JBIG2/JPX decoding (JPX
-payloads pass through raw).
+Encrypted PDFs with the standard security handler and an EMPTY user
+password (the owner-restricted class every viewer opens silently)
+decrypt from scratch — RC4 and AES via kernels/crypto.py +
+kernels/pdf_crypt.py (V1-V5, R2-R6); user-password-protected files and
+non-Standard handlers raise with the "encrypted" triage category.
+
+Scope (honest): predefined CID encodings other than Identity-* /
+UniXX-UCS2 (the raw-charset CMaps needing Adobe registry tables, e.g.
+GBK-EUC-H) raise; no CCITTFax/JBIG2/JPX decoding (JPX payloads pass
+through raw).
 Anything outside the subset raises ValueError and the ingestion bridge
 keeps the ``needs_prechunk`` contract for it.
 
@@ -150,19 +156,60 @@ def _std_widths(base: str) -> dict[int, int] | None:
 # Low-level object machinery
 # ---------------------------------------------------------------------------
 
-def _parse_objects(data: bytes) -> dict[int, bytes]:
-    """Object bodies span to the NEXT object header (not to 'endobj':
-    binary stream payloads can contain that word by chance).  PDF 1.5+
-    object streams (/Type /ObjStm) are expanded in place: their member
-    dicts (catalog, pages, fonts — stream objects can't live there per
-    spec) join the object table like direct objects."""
+def _split_objects(data: bytes) -> dict[int, bytes]:
+    """Header-split only (no ObjStm expansion): object bodies span to
+    the NEXT object header (not to 'endobj': binary stream payloads can
+    contain that word by chance)."""
     headers = list(re.finditer(rb"(\d+)\s+\d+\s+obj\b", data))
     objects: dict[int, bytes] = {}
     for i, m in enumerate(headers):
         end = headers[i + 1].start() if i + 1 < len(headers) else len(data)
         objects[int(m.group(1))] = data[m.end() : end]
+    return objects
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    """Object table of an UNENCRYPTED file.  PDF 1.5+ object streams
+    (/Type /ObjStm) are expanded in place: their member dicts (catalog,
+    pages, fonts — stream objects can't live there per spec) join the
+    object table like direct objects.  (Encrypted files must decrypt
+    between the split and the ObjStm expansion — see
+    ``pdf_to_blocks_and_media``.)"""
+    objects = _split_objects(data)
     _inline_objstm(objects)
     return objects
+
+
+def _decrypt_objects(objects: dict[int, bytes], decryptor,
+                     skip: set[int]) -> None:
+    """Decrypt every stream payload in place (before filters, before
+    ObjStm expansion).  XRef streams are never encrypted per spec and
+    are skipped; bodies are rebuilt with a direct /Length so downstream
+    framing sees the plaintext size (AES plaintext is shorter than its
+    IV+padded ciphertext)."""
+    for num, body in list(objects.items()):
+        if num in skip:
+            continue
+        framed = _raw_stream(body, objects)
+        if framed is None:
+            continue
+        head, payload = framed
+        if re.search(rb"/Type\s*/XRef\b", head):
+            continue
+        dec = decryptor.decrypt(num, 0, payload)
+        newlen = str(len(dec)).encode()
+        if re.search(rb"/Length\s+\d+\s+\d+\s+R", head):
+            head2 = re.sub(rb"/Length\s+\d+\s+\d+\s+R",
+                           b"/Length " + newlen, head, count=1)
+        elif re.search(rb"/Length\s+\d+", head):
+            head2 = re.sub(rb"/Length\s+\d+(?!\d)",
+                           b"/Length " + newlen, head, count=1)
+        else:  # delimiter-framed stream: add an explicit length
+            cut = head.rstrip()
+            if not cut.endswith(b">>"):
+                raise ValueError("stream object without a dictionary")
+            head2 = cut[:-2] + b" /Length " + newlen + b" >>"
+        objects[num] = head2 + b"\nstream\n" + dec + b"\nendstream"
 
 
 def _inline_objstm(objects: dict[int, bytes]) -> None:
@@ -476,6 +523,20 @@ def _stream_payload(
     (the object number would masquerade as a byte count and truncate
     the stream); it resolves through ``objects`` when provided, else
     falls back to the delimiter scan."""
+    framed = _raw_stream(body, objects)
+    if framed is None:
+        return None
+    head, data = framed
+    return _apply_filters(head, data)
+
+
+def _raw_stream(
+    body: bytes, objects: dict[int, bytes] | None = None
+) -> tuple[bytes, bytes] | None:
+    """(head, raw still-filtered payload) of one object's stream, or
+    None if the object has no stream.  Shared by :func:`_stream_payload`
+    and the decryption pass (which must see the ciphertext BEFORE
+    filters apply)."""
     sm = re.search(rb"stream\r?\n", body)
     if sm is None:
         return None
@@ -498,7 +559,7 @@ def _stream_payload(
         if end < 0:
             return None
         data = body[sm.end() : end].rstrip(b"\r\n")
-    return _apply_filters(head, data)
+    return head, data
 
 
 def _ref(head: bytes, key: bytes) -> int | None:
@@ -1431,11 +1492,36 @@ def pdf_to_blocks_and_media(
         raise ValueError("not a PDF (missing %PDF- header)")
     data = bytes(data)
     if b"/Encrypt" in data:
-        raise PdfUnsupported(
-            "encrypted PDF — decryption required", category="encrypted"
+        # standard-security-handler files with an EMPTY user password
+        # (the common owner-restricted class every viewer opens
+        # silently) decrypt from scratch (kernels/pdf_crypt.py);
+        # anything else keeps the "encrypted" triage status
+        from parserpdf_spark.kernels.pdf_crypt import (
+            build_decryptor,
+            file_id0,
         )
 
-    objects = _parse_objects(data)
+        objects = _split_objects(data)
+        em = None
+        for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
+            em = m  # last trailer wins (incremental updates)
+        try:
+            if em is None:
+                raise ValueError("unresolvable /Encrypt reference")
+            enc_num = int(em.group(1))
+            if enc_num not in objects:
+                raise ValueError("missing /Encrypt dictionary object")
+            decryptor = build_decryptor(
+                _head(objects[enc_num]), file_id0(data)
+            )
+        except ValueError as exc:
+            raise PdfUnsupported(
+                f"encrypted PDF ({exc})", category="encrypted"
+            ) from exc
+        _decrypt_objects(objects, decryptor, skip={enc_num})
+        _inline_objstm(objects)
+    else:
+        objects = _parse_objects(data)
     page_nums = _page_numbers(objects)
 
     _IDENTITY = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]

@@ -97,12 +97,12 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 37, "error": 1, "needs_prechunk": 1,
+    assert statuses == {"ok": 39, "error": 1, "needs_prechunk": 1,
                         "skipped": 2, "encrypted": 1, "needs_ocr": 1}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 37
+    assert metrics.count() == 39
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -167,10 +167,10 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 37, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 39, "error": 1, "needs_prechunk": 1, "skipped": 2,
         "encrypted": 1, "needs_ocr": 1,
     }
-    assert report["docs_by_status"] == {"ok": 37}
+    assert report["docs_by_status"] == {"ok": 39}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 
@@ -969,7 +969,7 @@ def test_pdf_triage_classes():
     external pre-chunker)."""
     row = route_file("/x/locked_4.pdf", _fixture_bytes("locked_4.pdf"))
     assert row["ingest_status"] == "encrypted"
-    assert "decryption" in row["ingest_error"]
+    assert "password" in row["ingest_error"]
 
     row = route_file("/x/scanned_3.pdf", _fixture_bytes("scanned_3.pdf"))
     assert row["ingest_status"] == "needs_ocr"

@@ -1,0 +1,160 @@
+"""From-scratch crypto (kernels/crypto.py) + PDF standard security
+handler (kernels/pdf_crypt.py): FIPS-197 / classic public test vectors
+for the primitives, then encrypt→decrypt round-trips at every handler
+revision, wrong-password refusal, and the ingest triage path."""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from parserpdf_spark.kernels.crypto import (  # noqa: E402
+    aes_cbc_decrypt,
+    aes_cbc_encrypt,
+    aes_decrypt_block,
+    aes_encrypt_block,
+    rc4,
+)
+
+
+def test_aes_fips197_vectors():
+    """FIPS-197 Appendix B and C known-answer vectors (public spec)."""
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    k192 = bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f")
+    assert aes_encrypt_block(pt, k128).hex() == \
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert aes_encrypt_block(pt, k192).hex() == \
+        "dda97ca4864cdfe06eaf70a0ec0d7191"
+    assert aes_encrypt_block(pt, k256).hex() == \
+        "8ea2b7ca516745bfeafc49904b496089"
+    for k in (k128, k192, k256):
+        assert aes_decrypt_block(aes_encrypt_block(pt, k), k) == pt
+    # Appendix B
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    p2 = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    assert aes_encrypt_block(p2, k).hex() == \
+        "3925841d02dc09fbdc118597196a0b32"
+
+
+def test_rc4_classic_vectors():
+    assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex().upper() == \
+        "45A01F645FC35B383552544B9BF5"
+    assert rc4(b"k", rc4(b"k", b"round trip")) == b"round trip"
+
+
+def test_aes_cbc_roundtrip_and_padding_gates():
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes(range(16))
+    for data in (b"", b"x", b"hello world " * 10):
+        assert aes_cbc_decrypt(iv + aes_cbc_encrypt(data, k, iv), k) == data
+    with pytest.raises(ValueError, match="block-aligned"):
+        aes_cbc_decrypt(iv + b"short", k)
+    with pytest.raises(ValueError, match="IV"):
+        aes_cbc_decrypt(b"tiny", k)
+
+
+def _plain_and_variants():
+    import pandas as pd
+
+    from make_file_fixtures import build_pdf
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    text = dict(zip(src["doc_id"].astype(int), src["text"]))[52]
+    return build_pdf(52, text, compress=True)
+
+
+def _spans(pdf: bytes):
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+
+    return [
+        (s["kind"], s["text"]) for s in extract_pdf_blocks(
+            [(json.dumps(b), None) for b in pdf_to_blocks(pdf)])
+    ]
+
+
+@pytest.mark.parametrize("variant", ["rc4", "aes", "aes256"])
+def test_encrypted_pdf_decrypts_and_extracts_identically(variant):
+    """RC4-128 (V2 R3), AES-128 (V4 R4 /AESV2), AES-256 (V5 R6 /AESV3):
+    the encrypted file extracts the exact spans of its plaintext twin."""
+    from make_file_fixtures import encrypt_pdf
+
+    plain = _plain_and_variants()
+    assert _spans(encrypt_pdf(plain, variant)) == _spans(plain)
+
+
+def test_encrypted_objstm_pdf_decrypts():
+    """Decryption must run BEFORE object-stream expansion (ObjStm
+    payloads are themselves encrypted)."""
+    import pandas as pd
+
+    from make_file_fixtures import build_pdf, encrypt_pdf
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    text = dict(zip(src["doc_id"].astype(int), src["text"]))[52]
+    plain = build_pdf(52, text, compress=True, objstm=True)
+    assert _spans(encrypt_pdf(plain, "aes")) == _spans(plain)
+
+
+def test_user_password_protected_stays_encrypted_status():
+    from make_file_fixtures import encrypt_pdf
+
+    from parserpdf_spark.sources.files import route_file
+
+    plain = _plain_and_variants()
+    for variant in ("rc4", "aes", "aes256"):
+        locked = encrypt_pdf(plain, variant, user=b"secret-user-pw")
+        row = route_file("/x/locked.pdf", locked)
+        assert row["ingest_status"] == "encrypted"
+        assert "password" in row["ingest_error"]
+
+
+def test_committed_encrypted_fixtures():
+    """The committed encrypted fixtures extract (empty user password)
+    or refuse (real user password) — same statuses the golden pins."""
+    from parserpdf_spark.sources.files import route_file
+
+    fx = os.path.join(REPO, "fixtures", "files_corpus")
+    with open(os.path.join(fx, "locked_4.pdf"), "rb") as fh:
+        row = route_file("/x/locked_4.pdf", fh.read())
+    assert row["ingest_status"] == "encrypted"
+    import pandas as pd
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docx_ids = sorted(i for i in src.doc_id.astype(int) if i % 3 == 1)
+    for idx in (17, 18):  # rc4 / aes256 empty-user-password fixtures
+        name = f"doc_{docx_ids[idx]}.pdf"
+        with open(os.path.join(fx, name), "rb") as fh:
+            row = route_file(f"/x/{name}", fh.read())
+        assert row["ingest_status"] == "ok", name
+        assert len(row["spans"]) > 0
+
+
+def test_malformed_encryption_dicts_stay_triage_not_crash():
+    from parserpdf_spark.sources.files import route_file
+
+    cases = [
+        # non-Standard handler
+        b"%PDF-1.4\n9 0 obj\n<< /Filter /MySec /V 2 >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n",
+        # missing /O //U
+        b"%PDF-1.4\n9 0 obj\n<< /Filter /Standard /V 2 /R 3 >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n",
+        # /Encrypt pointing nowhere
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 77 0 R >>\n%%EOF\n",
+    ]
+    for data in cases:
+        row = route_file("/x/weird.pdf", data)
+        assert row["ingest_status"] == "encrypted"

@@ -612,6 +612,130 @@ def build_pdf(
     return bytes(out)
 
 
+def encrypt_pdf(pdf: bytes, variant: str, owner: bytes = b"owner-pw",
+                user: bytes = b"") -> bytes:
+    """Encrypt a built PDF with the standard security handler — the
+    writer side of kernels/pdf_crypt.py, used to make fixtures that the
+    from-scratch decryptor must open (empty user password) or refuse
+    (real user password).
+
+    variants: ``"rc4"`` (V2 R3, 128-bit), ``"aes"`` (V4 R4 /AESV2),
+    ``"aes256"`` (V5 R6 /AESV3).  Deterministic: fixed /ID and IVs
+    derived from object numbers.
+    """
+    import hashlib
+    import re as _re
+    import struct
+
+    from parserpdf_spark.kernels.crypto import aes_cbc_encrypt, rc4
+    from parserpdf_spark.kernels.pdf_crypt import (
+        _PAD,
+        _hash_2b,
+        _key_r234,
+        _user_check_r234,
+    )
+    from parserpdf_spark.kernels.pdf_binary import (
+        _raw_stream,
+        _split_objects,
+    )
+
+    id0 = bytes(range(16))
+    p = -44
+    enc_num = 90
+
+    if variant in ("rc4", "aes"):
+        key_len = 16
+        r = 3 if variant == "rc4" else 4
+        v = 2 if variant == "rc4" else 4
+        # /O (Algorithm 3): RC4-encrypt the padded USER password under
+        # the owner key
+        okey = hashlib.md5((owner + _PAD)[:32]).digest()
+        for _ in range(50):
+            okey = hashlib.md5(okey[:key_len]).digest()
+        okey = okey[:key_len]
+        o = rc4(okey, (user + _PAD)[:32])
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey), o)
+        key = _key_r234(user, o, p, id0, key_len, r, True)
+        # /U (Algorithm 5): exactly what the checker recomputes
+        x = rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            x = rc4(bytes(b ^ i for b in key), x)
+        u = x + bytes(16)
+        assert _user_check_r234(key, id0, u, r)
+        extra = (b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                 b"/StmF /StdCF /StrF /StdCF " if variant == "aes" else b"")
+        enc_dict = (
+            b"<< /Filter /Standard "
+            + f"/V {v} /R {r} /Length 128 /P {p} ".encode() + extra
+            + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+            + b"> >>"
+        )
+
+        def enc_stream(num: int, payload: bytes) -> bytes:
+            ext = struct.pack("<I", num)[:3] + b"\x00\x00"
+            salt = b"sAlT" if variant == "aes" else b""
+            ok = hashlib.md5(key + ext + salt).digest()[
+                : min(key_len + 5, 16)]
+            if variant == "rc4":
+                return rc4(ok, payload)
+            iv = hashlib.md5(b"iv" + struct.pack("<I", num)).digest()
+            return iv + aes_cbc_encrypt(payload, ok, iv)
+    elif variant == "aes256":
+        file_key = hashlib.sha256(b"filekey").digest()
+        vsalt, ksalt = b"VSALT_U!", b"KSALT_U!"
+        u = _hash_2b(user, vsalt, b"") + vsalt + ksalt
+        ue = aes_cbc_encrypt(file_key, _hash_2b(user, ksalt, b""),
+                             iv=bytes(16), pad=False)
+        ovs, oks = b"VSALT_O!", b"KSALT_O!"
+        o = _hash_2b(owner, ovs, u) + ovs + oks
+        oe = aes_cbc_encrypt(file_key, _hash_2b(owner, oks, u),
+                             iv=bytes(16), pad=False)
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            + f"/P {p} ".encode()
+            + b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+            + b"> /OE <" + oe.hex().encode() + b"> /UE <"
+            + ue.hex().encode() + b"> >>"
+        )
+
+        def enc_stream(num: int, payload: bytes) -> bytes:
+            iv = hashlib.md5(b"iv" + struct.pack("<I", num)).digest()
+            return iv + aes_cbc_encrypt(payload, file_key, iv)
+    else:
+        raise ValueError(f"unknown encryption variant {variant!r}")
+
+    # rewrite every stream payload as ciphertext, patching /Length
+    objects = _split_objects(pdf)
+    out = bytearray()
+    body_end = pdf.rfind(b"xref")
+    if body_end < 0:
+        body_end = pdf.rfind(b"trailer")
+    out += pdf[: pdf.index(b"\n") + 1]  # %PDF- line
+    for num in sorted(objects):
+        body = objects[num]
+        framed = _raw_stream(body, objects)
+        if framed is None:
+            cut = body.find(b"endobj")
+            inner = body[:cut].rstrip() if cut >= 0 else body.rstrip()
+            out += f"{num} 0 obj\n".encode() + inner + b"\nendobj\n"
+            continue
+        head, payload = framed
+        ct = enc_stream(num, payload)
+        head2 = _re.sub(rb"/Length\s+\d+(?!\d)",
+                        b"/Length " + str(len(ct)).encode(), head, count=1)
+        out += (f"{num} 0 obj\n".encode() + head2.rstrip()
+                + b"\nstream\n" + ct + b"\nendstream\nendobj\n")
+    out += f"{enc_num} 0 obj\n".encode() + enc_dict + b"\nendobj\n"
+    out += (b"trailer\n<< /Root 1 0 R /Encrypt "
+            + f"{enc_num} 0 R".encode()
+            + b" /ID [<" + id0.hex().encode() + b"> <"
+            + id0.hex().encode() + b">] >>\n%%EOF\n")
+    return bytes(out)
+
+
 def build_scanned_pdf() -> bytes:
     """A scanned-style PDF: one page whose content is a single
     full-page image XObject Do — a real text-layer-absent document, so
@@ -690,6 +814,19 @@ def build_corpus() -> None:
         fh.write(build_pdf(cjk_id, cjk_text(cjk_id), compress=True,
                            font_mode="ucs2"))
 
+    # encrypted PDFs with an EMPTY user password (owner-restricted, the
+    # class every viewer opens silently): RC4-128 and AES-256/R6 — both
+    # decrypt through the from-scratch standard security handler and
+    # extract normally (ingest_status "ok")
+    rc4_id = docx_ids[17]
+    with open(os.path.join(FIXTURES, f"doc_{rc4_id}.pdf"), "wb") as fh:
+        fh.write(encrypt_pdf(
+            build_pdf(rc4_id, by_id[rc4_id], compress=True), "rc4"))
+    a256_id = docx_ids[18]
+    with open(os.path.join(FIXTURES, f"doc_{a256_id}.pdf"), "wb") as fh:
+        fh.write(encrypt_pdf(
+            build_pdf(a256_id, by_id[a256_id], compress=True), "aes256"))
+
     # PDF 1.5 object-stream layout (catalog/pages/font inside /ObjStm)
     objstm_id = docx_ids[13]
     with open(os.path.join(FIXTURES, f"doc_{objstm_id}.pdf"), "wb") as fh:
@@ -738,12 +875,12 @@ def build_corpus() -> None:
     # encrypted — distinct statuses so a 100 TB ingest can route them
     with open(os.path.join(FIXTURES, "scanned_3.pdf"), "wb") as fh:
         fh.write(build_scanned_pdf())
+    # a GENUINELY user-password-protected file: empty-password
+    # authentication fails → stays ingest_status "encrypted"
     with open(os.path.join(FIXTURES, "locked_4.pdf"), "wb") as fh:
-        fh.write(
-            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
-            b"3 0 obj\n<< /Filter /Standard /V 2 /R 3 >>\nendobj\n"
-            b"trailer\n<< /Root 1 0 R /Encrypt 3 0 R >>\n%%EOF\n"
-        )
+        fh.write(encrypt_pdf(
+            build_pdf(4, by_id[docx_ids[0]], compress=True), "aes",
+            user=b"secret-user-pw"))
     with open(os.path.join(FIXTURES, "readme_1.txt"), "w") as fh:
         fh.write("plain text sidecar, not an extraction input\n")
     with open(os.path.join(FIXTURES, "LICENSE"), "w") as fh:
