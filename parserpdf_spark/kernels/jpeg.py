@@ -197,10 +197,12 @@ def _build_fast_table(
     return sym, ln
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
-    """SOS payload → unstuffed byte runs split at RSTn markers, ending
-    at EOI.  Marker handling happens HERE, once, so the hot bit reader
-    never inspects markers."""
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """SOS payload → (unstuffed byte runs split at RSTn markers, offset
+    of the terminating marker's 0xFF).  The terminator is EOI for a
+    single-scan stream or the next DHT/DRI/SOS/… of a progressive
+    multi-scan stream.  Marker handling happens HERE, once, so the hot
+    bit reader never inspects markers."""
     segs: list[bytes] = []
     cur = bytearray()
     n = len(data)
@@ -219,16 +221,12 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
             segs.append(bytes(cur))
             cur = bytearray()
             pos = nxt_ff + 2
-        elif m == 0xD9:
-            segs.append(bytes(cur))
-            return segs
         elif m == 0xFF:  # fill byte
             pos = nxt_ff + 1
         else:
-            raise ValueError(
-                f"unexpected marker 0xFF{m:02X} in entropy data"
-            )
-    raise ValueError("truncated JPEG entropy data (no EOI)")
+            segs.append(bytes(cur))
+            return segs, nxt_ff
+    raise ValueError("truncated JPEG entropy data (no terminating marker)")
 
 
 class _SegReader:
@@ -510,6 +508,7 @@ def decode_jpeg_baseline(payload: bytes):
     htables: dict[int, tuple[list[int], list[int]]] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -557,7 +556,7 @@ def decode_jpeg_baseline(payload: bytes):
                     raise ValueError("truncated DHT")
                 htables[tc_th] = _build_fast_table(bits, values)
                 sp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack_from(">HH", seg, 1)
@@ -575,17 +574,22 @@ def decode_jpeg_baseline(payload: bytes):
                     raise ValueError(f"sampling factor {hs}x{vs} unsupported")
                 comps.append((cid, hs, vs, seg[8 + 3 * i]))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) outside baseline subset"
+                f"SOF marker 0xFF{marker:02X} (arithmetic/lossless/"
+                "hierarchical) outside the supported subset"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                return _decode_progressive(
+                    data, pos, frame, qtables, htables, restart_interval,
+                )
             ns = seg[0]
             scan_map = []
             for i in range(ns):
@@ -630,7 +634,7 @@ def _decode_scan(data, pos, frame, scan_map, qtables, htables,
             "bi": 0,
         })
 
-    segments = _entropy_segments(data, pos)
+    segments, _ = _entropy_segments(data, pos)
     reader = _SegReader(segments[0])
     seg_idx = 0
     preds = [0] * len(comp_info)
@@ -672,8 +676,14 @@ def _decode_scan(data, pos, frame, scan_map, qtables, htables,
                     info["bi"] += 1
             mcu_count += 1
 
-    # assemble: one batched de-zigzag + dequantize + IDCT per component,
-    # then upsample chroma to luma geometry, crop, color-convert
+    return _reconstruct(h, w, comp_info, mcus_y, mcus_x, max_h, max_v)
+
+
+def _reconstruct(h, w, comp_info, mcus_y, mcus_x, max_h, max_v):
+    """Quantized zigzag blocks → RGB: one batched de-zigzag +
+    dequantize + IDCT per component, then upsample chroma to luma
+    geometry, crop, color-convert.  Shared by the baseline and
+    progressive paths."""
     planes = []
     for info in comp_info:
         hs, vs = info["hs"], info["vs"]
@@ -698,3 +708,586 @@ def _decode_scan(data, pos, frame, scan_map, qtables, htables,
     else:
         rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
     return w, h, rgb
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G: spectral selection +
+# successive approximation across multiple scans, then one IDCT.
+# ---------------------------------------------------------------------------
+
+def _decode_progressive(data, pos, frame, qtables, htables,
+                        restart_interval):
+    """Drive the remaining marker stream of a progressive JPEG: decode
+    every scan into persistent per-component coefficient grids, then
+    reconstruct once at EOI."""
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    if mcus_x * mcus_y > 4_000_000:
+        raise ValueError("image too large for the pure-python decoder")
+    store = []
+    for cid, hs, vs, tq in comps:
+        rows, cols = mcus_y * vs, mcus_x * hs
+        # full-resolution block dims for non-interleaved (AC) scans:
+        # ceil(comp_size / 8) of the component's own sample grid
+        cw = -(-(w * hs) // max_h)
+        ch = -(-(h * vs) // max_v)
+        store.append({
+            "cid": cid, "hs": hs, "vs": vs, "tq": tq,
+            "rows": rows, "cols": cols,
+            "bw": -(-cw // 8), "bh": -(-ch // 8),
+            "coef": [[[0] * 64 for _ in range(cols)] for _ in range(rows)],
+            "pred": 0, "dc_done": False,
+        })
+
+    n = len(data)
+    saw_scan = False
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("marker segment overruns data")
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT between scans
+            sp = 0
+            while sp + 17 <= len(seg):
+                tc_th = seg[sp]
+                bits = list(seg[sp + 1 : sp + 17])
+                cnt = sum(bits)
+                values = list(seg[sp + 17 : sp + 17 + cnt])
+                if len(values) < cnt:
+                    raise ValueError("truncated DHT")
+                htables[tc_th] = _build_fast_table(bits, values)
+                sp += 17 + cnt
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next((c for c in store if c["cid"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"scan references unknown component {cs}")
+                scan_comps.append((comp, tdta >> 4, tdta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss > se or se > 63:
+                raise ValueError("invalid spectral selection band")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            pos = _prog_scan(
+                data, pos + 2 + seglen, scan_comps, ss, se, ah, al,
+                htables, restart_interval, mcus_y, mcus_x,
+            )
+            saw_scan = True
+            continue
+        pos += 2 + seglen
+    if not saw_scan:
+        raise ValueError("progressive JPEG without any scan")
+
+    comp_info = []
+    for c in store:
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        vs, hs = c["vs"], c["hs"]
+        # _reconstruct expects MCU-raster block order (my, mx, by, bx),
+        # not the coefficient grid's spatial raster
+        zz = np.array(
+            [c["coef"][my * vs + by][mx * hs + bx]
+             for my in range(mcus_y) for mx in range(mcus_x)
+             for by in range(vs) for bx in range(hs)],
+            dtype=np.float64,
+        )
+        comp_info.append({"hs": hs, "vs": vs,
+                          "q": qtables[c["tq"]], "zz": zz})
+    return _reconstruct(h, w, comp_info, mcus_y, mcus_x, max_h, max_v)
+
+
+def _prog_scan(data, pos, scan_comps, ss, se, ah, al, htables,
+               restart_interval, mcus_y, mcus_x):
+    """Decode one progressive scan's entropy data into the coefficient
+    grids; returns the offset of the terminating marker."""
+    segments, endpos = _entropy_segments(data, pos)
+    seg_idx = 0
+    reader = _SegReader(segments[0])
+    state = {"eobrun": 0}
+    for comp, _, _ in scan_comps:
+        comp["pred"] = 0
+
+    def next_segment():
+        nonlocal reader, seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("missing RSTn restart segment")
+        reader = _SegReader(segments[seg_idx])
+        state["eobrun"] = 0
+        for comp, _, _ in scan_comps:
+            comp["pred"] = 0
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        tables = []
+        for comp, td, _ in scan_comps:
+            if ah == 0:
+                t = htables.get(0x00 | td)
+                if t is None:
+                    raise ValueError("missing DC Huffman table")
+                tables.append(t)
+            else:
+                tables.append(None)  # refinement reads raw bits only
+        if len(scan_comps) > 1 or True:
+            # MCU raster over the frame grid (also covers ns=1 frames
+            # with a single component: mcus == blocks there)
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        next_segment()
+                    for (comp, _, _), tab in zip(scan_comps, tables):
+                        vs, hs = comp["vs"], comp["hs"]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                coef = comp["coef"][my * vs + by][mx * hs + bx]
+                                if ah == 0:
+                                    t = reader.read_symbol(*tab)
+                                    if t > 11:
+                                        raise ValueError("invalid DC category")
+                                    comp["pred"] += _extend(
+                                        reader.read_bits(t), t)
+                                    coef[0] = comp["pred"] << al
+                                else:
+                                    if reader.read_bits(1):
+                                        coef[0] |= 1 << al
+                    unit += 1
+        return endpos
+
+    # AC scan: single component, full-resolution block raster
+    comp, _, ta = scan_comps[0]
+    ac = htables.get(0x10 | ta)
+    if ah == 0 and ac is None:
+        raise ValueError("missing AC Huffman table")
+    p1 = 1 << al
+    m1 = -p1
+    unit = 0
+    for r_blk in range(comp["bh"]):
+        for c_blk in range(comp["bw"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                next_segment()
+            coef = comp["coef"][r_blk][c_blk]
+            if ah == 0:
+                _ac_first(reader, ac, coef, ss, se, al, state)
+            else:
+                if ac is None:
+                    raise ValueError("missing AC Huffman table")
+                _ac_refine(reader, ac, coef, ss, se, p1, m1, state)
+            unit += 1
+    return endpos
+
+
+def _ac_first(reader, ac, coef, ss, se, al, state):
+    """T.81 G.1.2.2: first AC pass of a band (Ah == 0)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    sym, ln = ac
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(sym, ln)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows spectral band")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, ac, coef, ss, se, p1, m1, state):
+    """T.81 G.1.2.3: successive-approximation AC refinement (Ah > 0):
+    new ±1-magnitude coefficients appear at this bit position while
+    already-nonzero coefficients receive correction bits."""
+    sym, ln = ac
+
+    def correct(k):
+        if reader.read_bits(1):
+            if coef[k] > 0 and not (coef[k] & p1):
+                coef[k] += p1
+            elif coef[k] < 0 and not (-coef[k] & p1):
+                coef[k] += m1
+
+    k = ss
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        for kk in range(ss, se + 1):
+            if coef[kk]:
+                correct(kk)
+        return
+    while k <= se:
+        rs = reader.read_symbol(sym, ln)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                for kk in range(k, se + 1):
+                    if coef[kk]:
+                        correct(kk)
+                return
+            # r == 15: skip 16 zero-history positions
+        elif s == 1:
+            val = p1 if reader.read_bits(1) else m1
+        else:
+            raise ValueError("invalid refinement magnitude")
+        while k <= se:
+            if coef[k]:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            coef[k] = val
+        k += 1
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — exists so the progressive decoder can be tested
+# against known source pixels without any image library in the container.
+# Spectral-selection scans always; successive approximation optional.
+# ---------------------------------------------------------------------------
+
+# an AC Huffman table containing ALL 256 (run, size) symbols, so EOBn
+# (n ≥ 1) codes are emittable (the Annex K baseline tables lack them):
+# 254 symbols at length 8 + 2 at length 9 (Kraft sum 0.996 < 1)
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _prog_planes(arr: np.ndarray, gray: bool, subsample: bool):
+    if gray:
+        return [arr.astype(np.float64)]
+    h, w = arr.shape[:2]
+    ycc = _rgb_to_ycbcr(arr)
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    if subsample:
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    return [y, cb, cr]
+
+
+def _zz_grid(plane: np.ndarray, q: np.ndarray):
+    """Plane → (grid[nby][nbx] of 64-int zigzag lists, nby, nbx)."""
+    blocks, nby, nbx = _block_split(plane)
+    grid = []
+    for yb in range(nby):
+        row = []
+        for xb in range(nbx):
+            coeffs = _T @ (blocks[yb, xb].astype(np.float64) - 128.0) @ _T.T
+            zz = np.round(coeffs / q).astype(np.int64).flatten()[_ZIGZAG]
+            row.append([int(v) for v in zz])
+        grid.append(row)
+    return grid, nby, nbx
+
+
+def _sos_header(comps_tdta: list[tuple[int, int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+    sos = bytes([len(comps_tdta)])
+    for cid, tdta in comps_tdta:
+        sos += bytes([cid, tdta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _emit_ac_first(writer, coef_iter, ss, se, al, ac_codes):
+    """First (Ah=0) pass over a band: baseline RLE + cross-block
+    EOBRUN batching (flushed at 0x7FFF and scan end)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        writer.write(c, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for coef in coef_iter:
+        vals = [
+            (v >> al if v >= 0 else -((-v) >> al)) for v in coef[ss:se + 1]
+        ]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                writer.write(c, ln)
+                run -= 16
+            t, code = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | t]
+            writer.write(c, ln)
+            writer.write(code, t)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+    flush()
+
+
+def _emit_ac_refine(writer, coef_iter, ss, se, al, ac_codes):
+    """Refinement (Ah = al+1 → Al = al) pass: newly-significant ±1
+    symbols with positionally-exact correction-bit interleaving (the
+    order the decoder's span walk consumes them in), plus EOBRUN with
+    trailing-correction buffering."""
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            writer.write(c, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in eob_bits:
+            writer.write(b, 1)
+        eob_bits = []
+
+    for coef in coef_iter:
+        newly = [k for k in range(ss, se + 1) if abs(coef[k]) >> al == 1]
+        if not newly:
+            had = False
+            for k in range(ss, se + 1):
+                if abs(coef[k]) >> (al + 1):
+                    eob_bits.append((abs(coef[k]) >> al) & 1)
+                    had = True
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        # span items since last symbol: 'z' (zero-history slot) or a
+        # correction bit for an already-significant coefficient
+        span: list = []
+        for k in range(ss, se + 1):
+            mag_prev = abs(coef[k]) >> (al + 1)
+            if mag_prev:
+                span.append(("c", (abs(coef[k]) >> al) & 1))
+            elif abs(coef[k]) >> al == 1:
+                # emit ZRLs positionally: each consumes exactly 16 'z'
+                # slots and the corrections interleaved BEFORE its
+                # 16th slot (the decoder's walk order)
+                while sum(1 for it in span if it == "z") > 15:
+                    c, ln = ac_codes[0xF0]
+                    writer.write(c, ln)
+                    zseen = 0
+                    rest = []
+                    for idx, it in enumerate(span):
+                        if it == "z":
+                            zseen += 1
+                            if zseen == 16:
+                                rest = span[idx + 1:]
+                                break
+                        else:
+                            writer.write(it[1], 1)
+                    span = rest
+                r = sum(1 for it in span if it == "z")
+                c, ln = ac_codes[(r << 4) | 1]
+                writer.write(c, ln)
+                writer.write(1 if coef[k] > 0 else 0, 1)
+                for it in span:
+                    if it != "z":
+                        writer.write(it[1], 1)
+                span = []
+            else:
+                span.append("z")
+        trailing = [it[1] for it in span if it != "z"]
+        if span:
+            eobrun += 1
+            eob_bits.extend(trailing)
+    flush()
+
+
+def encode_jpeg_progressive(
+    pixels,
+    quality: int = 90,
+    subsample: bool = False,
+    successive: bool = True,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW gray) → progressive (SOF2) JFIF bytes.
+
+    Scan script: interleaved DC, then per-component AC bands 1-5 and
+    6-63 (spectral selection).  ``successive=True`` encodes all of that
+    at Al=1 and appends DC + AC refinement scans (Ah=1 → Al=0), so the
+    decoder's successive-approximation paths are exercised end-to-end.
+    """
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg_progressive expects HxWx3 RGB or gray")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("degenerate image dimensions")
+    q_luma, q_chroma = _scaled_tables(quality)
+    al = 1 if successive else 0
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    zz_l = q_luma.flatten()[_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + zz_l
+    if not gray:
+        zz_c = q_chroma.flatten()[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + zz_c
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    hs = 2 if (subsample and not gray) else 1
+    comps = [(1, (hs << 4) | hs, 0)]
+    if not gray:
+        comps += [(2, 0x11, 1), (3, 0x11, 1)]
+    for cid, samp, tq in comps:
+        sof += struct.pack(">BBB", cid, samp, tq)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_PROG)]
+    if not gray:
+        tables += [(0x01, _DC_CHROMA)]
+    for tc_th, (bits, values) in tables:
+        seg = bytes([tc_th]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+    planes = _prog_planes(arr, gray, subsample)
+    qs = [q_luma] + [q_chroma] * (0 if gray else 2)
+    grids = [_zz_grid(p, q) for p, q in zip(planes, qs)]
+    dc_codes = [_build_codes(*_DC_LUMA)] + \
+        [_build_codes(*_DC_CHROMA)] * (0 if gray else 2)
+    ac_codes = _build_codes(*_AC_PROG)
+
+    if gray or not subsample:
+        mcus_y, mcus_x = grids[0][1], grids[0][2]
+        samp_of = [(1, 1)] * ncomp
+    else:
+        mcus_y = -(-grids[0][1] // 2)
+        mcus_x = -(-grids[0][2] // 2)
+        samp_of = [(2, 2), (1, 1), (1, 1)]
+
+    def mcu_blocks(ci):
+        grid, nby, nbx = grids[ci]
+        chs, cvs = samp_of[ci]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        yield grid[min(my * cvs + by, nby - 1)][
+                            min(mx * chs + bx, nbx - 1)]
+
+    def raster_blocks(ci):
+        grid, nby, nbx = grids[ci]
+        for yb in range(nby):
+            for xb in range(nbx):
+                yield grid[yb][xb]
+
+    # scan 1: interleaved DC first pass at Al
+    out += _sos_header(
+        [(comps[ci][0], (0x00 if ci == 0 else 0x01) << 4)
+         for ci in range(ncomp)], 0, 0, 0, al)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    # interleave components within each MCU (the frame MCU order)
+    iters = [mcu_blocks(ci) for ci in range(ncomp)]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                chs, cvs = samp_of[ci]
+                for _ in range(chs * cvs):
+                    coef = next(iters[ci])
+                    v = coef[0] >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t, code = _magnitude(diff) if diff else (0, 0)
+                    c, ln = dc_codes[ci][t]
+                    writer.write(c, ln)
+                    if t:
+                        writer.write(code, t)
+    writer.pad_to_byte()
+    out += writer.out
+
+    # per-component AC first passes, two spectral bands
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += _sos_header([(comps[ci][0], 0x00)], ss, se, 0, al)
+            writer = _BitWriter()
+            _emit_ac_first(writer, raster_blocks(ci), ss, se, al, ac_codes)
+            writer.pad_to_byte()
+            out += writer.out
+
+    if successive:
+        # DC refinement: one raw bit per block, interleaved MCU order
+        out += _sos_header(
+            [(comps[ci][0], 0x00) for ci in range(ncomp)], 0, 0, 1, 0)
+        writer = _BitWriter()
+        iters = [mcu_blocks(ci) for ci in range(ncomp)]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    chs, cvs = samp_of[ci]
+                    for _ in range(chs * cvs):
+                        writer.write(next(iters[ci])[0] & 1, 1)
+        writer.pad_to_byte()
+        out += writer.out
+        # AC refinement per component per band
+        for ci in range(ncomp):
+            for ss, se in ((1, 5), (6, 63)):
+                out += _sos_header([(comps[ci][0], 0x00)], ss, se, 1, 0)
+                writer = _BitWriter()
+                _emit_ac_refine(writer, raster_blocks(ci), ss, se, 0,
+                                ac_codes)
+                writer.pad_to_byte()
+                out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
