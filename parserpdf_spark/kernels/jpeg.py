@@ -1,4 +1,4 @@
-"""Baseline JPEG codec from scratch (stdlib + numpy).
+"""JPEG codec from scratch (stdlib + numpy): baseline AND progressive.
 
 The PDF kernel (kernels/pdf_binary.py) surfaces /DCTDecode image
 payloads byte-for-byte, and the reference pipeline hands such images to
@@ -6,17 +6,23 @@ PIL (``utils/file_utils.py:562-626``).  This container ships no image
 library, so the dominant embedded-image format is implemented from the
 public ITU-T T.81 spec directly:
 
-- **decode_jpeg_baseline**: baseline sequential DCT (SOF0), 8-bit,
-  grayscale or 3-component YCbCr (JFIF), chroma sampling factors 1 or 2
-  (4:4:4 / 4:2:2 / 4:2:0), restart markers (DRI/RSTn), 8- and 16-bit
-  quantization tables, multi-marker streams with fill bytes.  Outside
-  the subset (progressive SOF2, arithmetic coding, 12-bit, CMYK,
+- **decode_jpeg_baseline** (the one entry point — name kept for API
+  stability): baseline sequential DCT (SOF0/1) and progressive (SOF2,
+  Annex G: spectral selection + successive approximation across
+  multiple scans), 8-bit, grayscale or 3-component YCbCr (JFIF),
+  chroma sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), restart
+  markers (DRI/RSTn), 8- and 16-bit quantization tables, inter-scan
+  DHT/DRI updates, multi-marker streams with fill bytes.  Outside the
+  subset (arithmetic coding, lossless/hierarchical SOFs, 12-bit, CMYK,
   truncated entropy data) raises ValueError — the keep-with-status
   contract upstream converts that to a per-row status.
-- **encode_jpeg_baseline**: the matching writer (quality-scaled Annex K
-  quantization tables, standard Annex K Huffman tables, optional 4:2:0
-  subsampling, restart intervals) so fixtures carry *real* decodable
-  JPEG bytes with known source pixels.
+- **encode_jpeg_baseline** / **encode_jpeg_progressive**: matching
+  writers (quality-scaled Annex K quantization tables, standard or
+  full-symbol Huffman tables, optional 4:2:0 subsampling, restart
+  intervals, spectral/successive scan scripts) so fixtures carry *real*
+  decodable JPEG bytes with known source pixels, and the progressive
+  decoder is pinned byte-equal to the baseline decoder on identical
+  quantized coefficients.
 
 Correctness is NOT self-referential: tests pin closed-form cases (a
 solid-color image is a pure DC term whose quantized value is derivable

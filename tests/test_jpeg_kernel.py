@@ -101,10 +101,10 @@ def test_out_of_subset_marker_streams_raise():
         decode_jpeg_baseline(b"plain bytes")
     with pytest.raises(ValueError):
         decode_jpeg_baseline(b"\xff\xd8\xff\xd9")
-    # progressive SOF2
-    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 10) + bytes(8)
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg_baseline(sof2)
+    # arithmetic-coded SOF9
+    sof9 = b"\xff\xd8\xff\xc9" + struct.pack(">H", 10) + bytes(8)
+    with pytest.raises(ValueError, match="subset"):
+        decode_jpeg_baseline(sof9)
     # 12-bit precision
     seg = struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
     sof12 = b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(seg)) + seg
@@ -174,3 +174,54 @@ def test_decode_image_auto_dispatches_on_magic():
     assert (w, h) == (14, 10)
     with pytest.raises(ValueError, match="magic"):
         decode_image_auto(b"\x89PNG\r\n")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decodes_byte_equal_to_baseline():
+    """Identical quantized coefficients must reconstruct identically:
+    decode(progressive(img)) == decode(baseline(img)) exactly — across
+    spectral-selection-only and successive-approximation scan scripts,
+    gray/4:4:4/4:2:0, odd dims, and quality extremes (long zero runs
+    exercise EOBRUN and ZRL span logic)."""
+    from parserpdf_spark.kernels.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, size=(13, 19, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8),
+         {"subsample": True}),
+        (rng.integers(0, 256, size=(24, 24), dtype=np.uint8), {}),
+        (np.full((16, 16, 3), 200, np.uint8), {}),
+    ]
+    for img, kw in cases:
+        _, _, base = decode_jpeg_baseline(encode_jpeg_baseline(img, 88, **kw))
+        for successive in (False, True):
+            _, _, prog = decode_jpeg_baseline(
+                encode_jpeg_progressive(img, 88, successive=successive, **kw))
+            assert np.array_equal(prog, base), (img.shape, kw, successive)
+    img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    for q in (10, 95):
+        _, _, base = decode_jpeg_baseline(encode_jpeg_baseline(img, q))
+        _, _, prog = decode_jpeg_baseline(
+            encode_jpeg_progressive(img, q, successive=True))
+        assert np.array_equal(prog, base)
+
+
+@settings(max_examples=20, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200),
+       cut=st.integers(min_value=2, max_value=600))
+def test_progressive_decoder_never_crashes_uncontrolled(junk, cut):
+    from parserpdf_spark.kernels.jpeg import encode_jpeg_progressive
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    valid = encode_jpeg_progressive(img, 85, successive=True)
+    for data in (valid[:cut], valid[:40] + junk + valid[40:]):
+        try:
+            decode_jpeg_baseline(data)
+        except ValueError:
+            pass
