@@ -7,13 +7,15 @@ hands them to PIL (``utils/file_utils.py:562-626``).  Lossless, so
 round-trips are EXACT — the strongest correctness check a codec can
 have.
 
-- **decode_png**: 8-bit depth, color types 0 (gray), 2 (RGB),
-  3 (indexed + PLTE), 4 (gray+alpha), 6 (RGBA); all five row filters
-  (None/Sub/Up/Average/Paeth — the same family the PDF kernel's
-  stream-predictor reverser implements); multiple IDAT chunks; CRC
-  checked per chunk.  Alpha composites over white (the feature stage
-  wants opaque RGB); 16-bit depth and interlacing raise (honest
-  subset).
+- **decode_png**: 8- and 16-bit depth (16-bit keeps the high byte),
+  color types 0 (gray), 2 (RGB), 3 (indexed + PLTE), 4 (gray+alpha),
+  6 (RGBA); all five row filters (None/Sub/Up/Average/Paeth — the same
+  family the PDF kernel's stream-predictor reverser implements); Adam7
+  interlacing (seven independently-filtered sub-images scattered back);
+  tRNS transparency (palette alpha and gray/RGB color keys); multiple
+  IDAT chunks; CRC checked per chunk.  Alpha composites over white
+  (the feature stage wants opaque RGB); bit-packed depths 1/2/4 raise
+  (honest subset).
 - **encode_png**: color type 2 (RGB) or 0 (gray), filter-None rows,
   one IDAT — minimal but fully valid output with correct CRCs.
 
@@ -103,15 +105,18 @@ def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
 def decode_png(payload: bytes):
     """PNG bytes → (width, height, HxWx3 uint8 RGB array).
 
-    Alpha composites over white; indexed images resolve through PLTE;
-    grayscale expands to 3 equal channels.  Raises ValueError outside
-    the subset (16-bit, interlaced, malformed chunks, bad CRCs)."""
+    Alpha (channels or tRNS) composites over white; indexed images
+    resolve through PLTE; grayscale expands to 3 equal channels; Adam7
+    deinterlaces; 16-bit depth keeps the high byte.  Raises ValueError
+    outside the subset (bit-packed depths, malformed chunks, bad
+    CRCs)."""
     data = bytes(payload)
     if len(data) < 8 or data[:8] != _SIG:
         raise ValueError("not a PNG (missing signature)")
     pos = 8
     ihdr = None
     plte = None
+    trns = None
     idat = bytearray()
     seen_iend = False
     while pos + 8 <= len(data):
@@ -133,11 +138,12 @@ def decode_png(payload: bytes):
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IEND":
             seen_iend = True
             break
-        # ancillary chunks (tEXt, gAMA, tRNS…) are skipped; tRNS-keyed
-        # transparency is out of scope (alpha via color types 4/6 only)
+        # other ancillary chunks (tEXt, gAMA, pHYs…) are skipped
         pos += 12 + length
     if ihdr is None:
         raise ValueError("PNG without IHDR")
@@ -146,27 +152,63 @@ def decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if w == 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
         raise ValueError("degenerate or implausible PNG dimensions")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} outside the 8-bit subset")
+    if depth not in (8, 16):
+        raise ValueError(
+            f"PNG bit depth {depth} outside the 8/16-bit subset")
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit indexed PNG is not a valid combination")
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG outside the subset")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if not idat:
         raise ValueError("PNG without IDAT data")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"broken PNG IDAT stream: {exc}") from exc
-    bpp = _CHANNELS[color_type]
-    samples = _unfilter(raw, h, w, bpp)
+    nch = _CHANNELS[color_type]
+    bypp = nch * (2 if depth == 16 else 1)
+
+    if interlace == 0:
+        pix = _unfilter(raw, h, w, bypp).reshape(h, w, bypp)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        pix = np.zeros((h, w, bypp), dtype=np.uint8)
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        at = 0
+        for x0, y0, xs, ys in passes:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bypp + 1)
+            sub = _unfilter(raw[at:at + need], ph, pw, bypp)
+            at += need
+            pix[y0::ys, x0::xs] = sub.reshape(ph, pw, bypp)
+
+    if depth == 16:  # big-endian samples: keep the high byte
+        samples = pix.reshape(h, w, nch, 2)[..., 0]
+    else:
+        samples = pix
 
     if color_type == 2:
         rgb = samples.reshape(h, w, 3)
+        if trns is not None and len(trns) >= 6:
+            key = np.frombuffer(trns[:6], dtype=">u2").astype(np.int64)
+            key = (key >> 8 if depth == 16 else key & 0xFF).astype(np.uint8)
+            mask = (rgb == key).all(axis=-1)
+            rgb = rgb.copy()
+            rgb[mask] = 255  # transparent key → white background
     elif color_type == 0:
         g = samples.reshape(h, w)
+        if trns is not None and len(trns) >= 2:
+            (key,) = struct.unpack(">H", trns[:2])
+            key = key >> 8 if depth == 16 else key & 0xFF
+            g = g.copy()
+            g[g == key] = 255
         rgb = np.stack([g, g, g], axis=-1)
     elif color_type == 3:
         if plte is None:
@@ -174,7 +216,16 @@ def decode_png(payload: bytes):
         idx = samples.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
-        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.float64)
+            alpha[: min(len(trns), len(plte))] = np.frombuffer(
+                trns[: len(plte)], dtype=np.uint8)
+            a = (alpha[idx] / 255.0)[..., None]
+            rgb = np.clip(
+                (plte[idx] * a + 255.0 * (1 - a)).round(), 0, 255
+            ).astype(np.uint8)
+        else:
+            rgb = plte[idx]
     elif color_type == 4:
         ga = samples.reshape(h, w, 2).astype(np.float64)
         g = ga[..., 0] * (ga[..., 1] / 255.0) + 255.0 * (1 - ga[..., 1] / 255.0)

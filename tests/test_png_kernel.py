@@ -109,20 +109,15 @@ def test_chunk_level_gates():
     bad[40] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    interlaced = (_SIG
-                  + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 8, 8, 2, 0, 0, 1))
-                  + _chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="nterlaced"):
-        decode_png(interlaced)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"plain bytes")
     with pytest.raises(ValueError, match="IEND|truncated"):
         decode_png(good[:-20])
-    depth16 = (_SIG
-               + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
-               + _chunk(b"IEND", b""))
+    depth4 = (_SIG
+              + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0))
+              + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="depth"):
-        decode_png(depth16)
+        decode_png(depth4)
 
 
 @settings(max_examples=30, deadline=None)
@@ -157,3 +152,61 @@ def test_docx_media_png_decodes_to_known_gradient():
     want = np.stack([(xx * 255) // 7, (yy * 255) // 7,
                      np.full((8, 8), 1 % 251)], axis=-1).astype(np.uint8)
     assert np.array_equal(rgb, want)
+
+
+def test_adam7_interlaced_rgb_exact():
+    """Adam7: the test slices the image into the seven passes itself
+    (independent construction); decode must scatter them back exactly."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 13, 11, 8, 2, 0, 0, 1))
+           + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+    _, _, out = decode_png(png)
+    assert np.array_equal(out, img)
+
+
+def test_16bit_depth_keeps_high_byte():
+    rng = np.random.default_rng(10)
+    img16 = rng.integers(0, 65536, size=(5, 7, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + img16[y].astype(">u2").tobytes()
+                   for y in range(5))
+    png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 16, 2, 0, 0, 0))
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    _, _, out = decode_png(png)
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+
+def test_trns_transparency_palette_and_gray_key():
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(4, 5), dtype=np.uint8)
+    trns = bytes([0, 128, 255, 255])
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", plte.tobytes()) + _chunk(b"tRNS", trns)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    _, _, out = decode_png(png)
+    a = (np.array([0, 128, 255, 255])[idx] / 255.0)[..., None]
+    want = np.clip((plte[idx] * a + 255 * (1 - a)).round(),
+                   0, 255).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+    g = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    g[1, 2] = 77
+    rawg = b"".join(b"\x00" + g[y].tobytes() for y in range(4))
+    pngg = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + _chunk(b"tRNS", struct.pack(">H", 77))
+            + _chunk(b"IDAT", zlib.compress(rawg)) + _chunk(b"IEND", b""))
+    _, _, outg = decode_png(pngg)
+    wantg = g.copy()
+    wantg[g == 77] = 255
+    assert np.array_equal(outg[:, :, 0], wantg)
