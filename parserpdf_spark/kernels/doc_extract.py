@@ -272,15 +272,48 @@ def _stsh_heading_levels(stsh: bytes) -> dict[int, int]:
     return out
 
 
-def _papx_istd_runs(word: bytes, plc: bytes) -> list[tuple[int, int, int]]:
-    """PlcfBtePapx bytes → [(fc_start, fc_lim, istd)] paragraph runs,
-    resolved through the 512-byte PAPX FKP pages in the WordDocument
-    stream."""
+def _papx_flags(grp: bytes) -> tuple[bool, bool]:
+    """Walk a PAPX grpprl (after istd) for the two table sprms:
+    sprmPFInTable (0x2416) and sprmPFTtp (0x2417).  Operand sizes
+    follow the spra bits of each opcode ([MS-DOC] 2.2.5.1); truncated
+    tails stop the walk (best-effort)."""
+    in_table = ttp = False
+    pos = 2  # past istd
+    while pos + 2 <= len(grp):
+        (op,) = struct.unpack_from("<H", grp, pos)
+        pos += 2
+        spra = op >> 13
+        if spra in (0, 1):
+            size = 1
+        elif spra in (2, 4, 5):
+            size = 2
+        elif spra == 7:
+            size = 3
+        elif spra == 3:
+            size = 4
+        else:  # 6: variable, first operand byte is the length
+            if pos >= len(grp):
+                break
+            size = 1 + grp[pos]
+        if op == 0x2416 and pos < len(grp):
+            in_table = grp[pos] != 0
+        elif op == 0x2417 and pos < len(grp):
+            ttp = grp[pos] != 0
+        pos += size
+    return in_table, ttp
+
+
+def _papx_istd_runs(
+    word: bytes, plc: bytes
+) -> list[tuple[int, int, int, bool, bool]]:
+    """PlcfBtePapx bytes → [(fc_start, fc_lim, istd, in_table, ttp)]
+    paragraph runs, resolved through the 512-byte PAPX FKP pages in the
+    WordDocument stream."""
     if len(plc) < 12:
         return []
     n = (len(plc) - 4) // 8
     fcs = [struct.unpack_from("<I", plc, i * 4)[0] for i in range(n + 1)]
-    runs: list[tuple[int, int, int]] = []
+    runs: list[tuple[int, int, int, bool, bool]] = []
     for i in range(n):
         (pn,) = struct.unpack_from("<I", plc, (n + 1) * 4 + i * 4)
         pn &= 0x3FFFFF
@@ -294,9 +327,9 @@ def _papx_istd_runs(word: bytes, plc: bytes) -> list[tuple[int, int, int]]:
                 for k in range(crun + 1)]
         for k in range(crun):
             bx = page[(crun + 1) * 4 + k * 13]
-            if bx == 0:
-                istd = 0  # no PAPX → default properties (Normal)
-            else:
+            istd = 0  # no PAPX → default properties (Normal)
+            in_table = ttp = False
+            if bx:
                 off = bx * 2
                 if off + 2 > 511:
                     raise ValueError("PAPX offset out of page")
@@ -305,9 +338,10 @@ def _papx_istd_runs(word: bytes, plc: bytes) -> list[tuple[int, int, int]]:
                     grp = page[off + 2 : off + 2 + 2 * page[off + 1]]
                 else:
                     grp = page[off + 1 : off + 1 + 2 * cb - 1]
-                istd = (struct.unpack_from("<H", grp, 0)[0]
-                        if len(grp) >= 2 else 0)
-            runs.append((rgfc[k], rgfc[k + 1], istd))
+                if len(grp) >= 2:
+                    istd = struct.unpack_from("<H", grp, 0)[0]
+                    in_table, ttp = _papx_flags(grp)
+            runs.append((rgfc[k], rgfc[k + 1], istd, in_table, ttp))
         if fcs[i] > rgfc[0] or fcs[i + 1] < rgfc[crun]:
             # bin-table entry inconsistent with its page — style info is
             # best-effort; signal so the caller falls back to all-<p>
@@ -315,68 +349,120 @@ def _papx_istd_runs(word: bytes, plc: bytes) -> list[tuple[int, int, int]]:
     return runs
 
 
-def _doc_paragraph_levels(data: bytes) -> list[tuple[str, int]]:
-    """.doc bytes → [(paragraph text, heading level)] with level 0 for
-    body paragraphs.  Style decoding is BEST-EFFORT: any inconsistency
-    in STSH/PAPX structures degrades to level 0 for all paragraphs (the
-    text itself is never lost) — only the core text path raises."""
+def _doc_paragraph_levels(
+    data: bytes,
+) -> list[tuple[str, str, int, bool, bool]]:
+    """.doc bytes → [(text, mark, heading level, in_table, ttp)] per
+    paragraph, where ``mark`` is the terminating character ("\\r" for
+    normal paragraphs, "\\x07" for cell/row marks, "" for an unmarked
+    tail) and ``ttp`` marks a table-row terminator.  Style/table
+    decoding is BEST-EFFORT: any inconsistency in STSH/PAPX structures
+    degrades to plain paragraphs (the text itself is never lost) — only
+    the core text path raises."""
     runs_chars = _doc_chars(data)  # raises for out-of-subset files
 
     heading: dict[int, int] = {}
-    runs: list[tuple[int, int, int]] = []
+    runs: list[tuple[int, int, int, bool, bool]] = []
     try:
         word, table, _, _ = _doc_internals(data)
         (fc_stsh,) = struct.unpack_from("<I", word, 0x00A2)
         (lcb_stsh,) = struct.unpack_from("<I", word, 0x00A6)
         (fc_pap,) = struct.unpack_from("<I", word, 0x0102)
         (lcb_pap,) = struct.unpack_from("<I", word, 0x0106)
-        if lcb_stsh and lcb_pap:
-            heading = _stsh_heading_levels(table[fc_stsh : fc_stsh + lcb_stsh])
-            if heading:
-                runs = _papx_istd_runs(word, table[fc_pap : fc_pap + lcb_pap])
+        if lcb_pap:
+            if lcb_stsh:
+                heading = _stsh_heading_levels(
+                    table[fc_stsh : fc_stsh + lcb_stsh])
+            runs = _papx_istd_runs(word, table[fc_pap : fc_pap + lcb_pap])
     except (ValueError, struct.error, IndexError):
         heading, runs = {}, []
 
-    def level_at(fc: int) -> int:
-        for lo, hi, istd in runs:
+    def props_at(fc: int) -> tuple[int, bool, bool]:
+        for lo, hi, istd, in_table, ttp in runs:
             if lo <= fc < hi:
-                return heading.get(istd, 0)
-        return 0
+                return heading.get(istd, 0), in_table, ttp
+        return 0, False, False
 
-    paras: list[tuple[str, int]] = []
+    paras: list[tuple[str, str, int, bool, bool]] = []
     cur: list[str] = []
     for text, (fc0, step) in runs_chars:
         for j, ch in enumerate(text):
-            if ch == "\r":
-                # the paragraph MARK's properties style the paragraph
-                paras.append(("".join(cur), level_at(fc0 + j * step)))
+            if ch in ("\r", "\x07"):
+                # the paragraph MARK's properties style the paragraph;
+                # 0x07 is both a paragraph mark and a cell/row mark
+                level, in_table, ttp = props_at(fc0 + j * step)
+                paras.append(("".join(cur), ch, level, in_table, ttp))
                 cur = []
             else:
                 cur.append(ch)
     if cur:
-        paras.append(("".join(cur), 0))
+        paras.append(("".join(cur), "", 0, False, False))
     return paras
 
 
 def doc_to_html(data: bytes) -> str:
     """.doc bytes → normalized HTML, the same dialect the docx shim
     emits: Heading-N styled paragraphs (via STSH + PAPX istd lookup)
-    become ``<hN>`` (capped at h6), everything else ``<p>``.  Style
-    decode is best-effort — files without parseable style structures
-    degrade to all-``<p>``, never lose text."""
+    become ``<hN>`` (capped at h6); table paragraphs (sprmPFInTable,
+    cells split at 0x07 marks, rows closed by sprmPFTtp marks) become
+    ``<table><tr><td>``; everything else ``<p>``.  Style/table decode
+    is best-effort — files without parseable structures degrade to
+    plain paragraphs, never lose text."""
     from html import escape
 
     try:
         paras = _doc_paragraph_levels(bytes(data))
     except struct.error as exc:
         raise ValueError(f"malformed .doc structure: {exc}") from exc
+
+    def clean(text: str) -> str:
+        # strip remaining Word control marks (page break 0x0C, line
+        # break 0x0B → space); cell marks are handled structurally
+        return text.replace("\x0b", " ").replace("\x0c", "").strip()
+
     parts = ["<body><article>"]
-    for para, level in paras:
-        # strip Word control marks (cell/row 0x07, page break 0x0C,
-        # line break 0x0B → space)
-        para = para.replace("\x0b", " ").replace("\x0c", "").replace("\x07", "")
-        if para.strip():
+    rows: list[list[str]] = []      # completed rows of the open table
+    cells: list[str] = []           # completed cells of the open row
+    cell_buf: list[str] = []        # paragraphs of the open cell
+
+    def flush_table() -> None:
+        nonlocal rows, cells, cell_buf
+        if cell_buf:  # unterminated cell (malformed): keep its text
+            cells.append(" ".join(cell_buf))
+        if cells:
+            rows.append(cells)
+        if rows:
+            parts.append("<table>")
+            for row in rows:
+                parts.append(
+                    "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                )
+            parts.append("</table>")
+        rows, cells, cell_buf = [], [], []
+
+    for para, mark, level, in_table, ttp in paras:
+        text = clean(para)
+        if in_table:
+            if mark == "\x07" and ttp:
+                if cell_buf:
+                    cells.append(" ".join(cell_buf))
+                    cell_buf = []
+                if text:  # text directly on a row mark (unusual)
+                    cells.append(escape(text))
+                rows.append(cells)
+                cells = []
+            elif mark == "\x07":
+                cell_buf.append(escape(text))
+                cells.append(" ".join(cell_buf))
+                cell_buf = []
+            else:  # \r inside a cell: another paragraph of the same cell
+                if text:
+                    cell_buf.append(escape(text))
+            continue
+        flush_table()
+        if text:
             tag = f"h{min(level, 6)}" if level else "p"
-            parts.append(f"<{tag}>{escape(para.strip())}</{tag}>")
+            parts.append(f"<{tag}>{escape(text)}</{tag}>")
+    flush_table()
     parts.append("</article></body>")
     return "".join(parts)

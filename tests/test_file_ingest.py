@@ -1032,10 +1032,11 @@ def test_pdf_per_stage_decode_parms_chained_filters():
 
 def test_doc_stsh_heading_styles():
     """The styled .doc fixture (STSH + PlcfBtePapx/PAPX FKP) classifies
-    the Heading-1 title paragraph as <h1> → a heading span; the
-    style-free fixture stays all-<p>; style decode failure degrades to
-    text-only, never loses content."""
+    the Heading-1 title as <h1> and the sprmPFInTable/TTP-marked
+    paragraphs as a 2x3 <table>; the style-free build stays all-<p>;
+    style decode failure degrades without losing any text."""
     import re
+    import struct
     import sys
 
     import pandas as pd
@@ -1047,22 +1048,28 @@ def test_doc_stsh_heading_styles():
 
     src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
     text = dict(zip(src["doc_id"].astype(int), src["text"]))[40]
+    words = [w for w in text.split(" ") if w]
     plain = doc_to_html(build_doc(40, text))
     styled = doc_to_html(build_doc(40, text, styled=True))
     assert plain.startswith("<body><article><p>")
+    assert "<table>" not in plain
     assert styled.startswith("<body><article><h1>")
     assert styled.count("<h1>") == 1
-    strip = lambda s: re.sub(r"<[^>]+>", "|", s)  # noqa: E731
-    assert strip(plain) == strip(styled)  # tags differ, text identical
+    assert styled.count("<tr>") == 2 and styled.count("<td>") == 6
+    assert re.findall(r"<td>(.*?)</td>", styled) == words[3:9]
+    # every BODY paragraph of the plain build survives in the styled
+    # one (the first <p> is the title, which styled promotes to <h1>)
+    for p_text in re.findall(r"<p>(.*?)</p>", plain)[1:]:
+        assert f"<p>{p_text}</p>" in styled
 
-    # corrupt the style pointers so style decode fails: text must
-    # survive, tags degrade to all-<p>.  The FIB starts at the wIdent
-    # magic inside the container; fcPlcfBtePapx sits at FIB+0x0102.
-    import struct
-
+    # corrupt the style pointers: table/heading structure degrades but
+    # ALL words survive as text
     raw = bytearray(build_doc(40, text, styled=True))
     fib_at = raw.find(struct.pack("<H", 0xA5EC))
     assert fib_at > 0
     struct.pack_into("<I", raw, fib_at + 0x0102, 0xFFFFFF00)
     degraded = doc_to_html(bytes(raw))
-    assert degraded == plain
+    assert "<table>" not in degraded and "<h1>" not in degraded
+    degraded_words = re.sub(r"<[^>]+>", " ", degraded).split()
+    for wd in words:
+        assert wd in degraded_words

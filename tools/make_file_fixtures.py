@@ -295,7 +295,17 @@ def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
     paras = [" ".join(words[:HEAD_WORDS])] + [
         " ".join(c) for c in _chunks(words[HEAD_WORDS:], PARA_WORDS)
     ]
-    doc_text = "\r".join(paras) + "\r"
+    with_table = styled and len(words) >= HEAD_WORDS + 6
+    if with_table:
+        # a 2x3 table after the heading (the docx builder's shape):
+        # cells end with 0x07 marks, each row closed by a TTP 0x07
+        tw = words[HEAD_WORDS:HEAD_WORDS + 6]
+        row1 = tw[0] + "\x07" + tw[1] + "\x07" + tw[2] + "\x07"
+        row2 = tw[3] + "\x07" + tw[4] + "\x07" + tw[5] + "\x07"
+        doc_text = (paras[0] + "\r" + row1 + "\x07" + row2 + "\x07"
+                    + "\r".join(paras[1:]) + "\r")
+    else:
+        doc_text = "\r".join(paras) + "\r"
     raw = doc_text.encode("cp1252")
 
     TEXT_AT = 0x600
@@ -328,18 +338,40 @@ def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
         stsh = struct.pack("<H", len(stshi)) + stshi + lpstds
 
         # --- PAPX FKP page (512 bytes) in the WordDocument stream at
-        # the next 512-aligned page; 2 runs: title para → istd 1
-        # (PapxInFkp cb==0 form at an even offset), rest → bx 0 (istd 0)
-        fc_first = TEXT_AT
-        fc_head_lim = TEXT_AT + len(paras[0].encode("cp1252")) + 1
+        # the next 512-aligned page.  Blobs use the PapxInFkp cb==0
+        # form (cb'(1 byte) then 2*cb' grpprl bytes starting with istd).
+        blob_h = b"\x00\x01" + struct.pack("<H", 1)  # istd 1 (heading 1)
+        # istd 0 + sprmPFInTable(0x2416)=1, padded to an even grpprl
+        blob_t = b"\x00\x03" + struct.pack("<H", 0) + b"\x16\x24\x01\x00"
+        # istd 0 + sprmPFInTable=1 + sprmPFTtp(0x2417)=1 (row terminator)
+        blob_r = (b"\x00\x04" + struct.pack("<H", 0)
+                  + b"\x16\x24\x01" + b"\x17\x24\x01")
+        fc = TEXT_AT
+        head_end = fc + len(paras[0].encode("cp1252")) + 1
+        runs: list[tuple[int, str]] = [(head_end, "h")]
+        if with_table:
+            at = head_end
+            for row in (row1, row2):
+                at += len(row.encode("cp1252"))
+                runs.append((at, "t"))   # the row's cells
+                at += 1
+                runs.append((at, "r"))   # the TTP row mark
         fc_lim = TEXT_AT + len(raw)
+        runs.append((fc_lim, "p"))
         page = bytearray(512)
-        struct.pack_into("<III", page, 0, fc_first, fc_head_lim, fc_lim)
-        papx_off = 500  # even; blob = cb(0), cb'(1), istd(2 bytes)
-        page[12] = papx_off // 2          # rgbx[0].bOffset (+12 PHE zeros)
-        page[25] = 0                      # rgbx[1]: no PAPX → istd 0
-        page[papx_off:papx_off + 4] = b"\x00\x01" + struct.pack("<H", 1)
-        page[511] = 2                     # crun
+        crun = len(runs)
+        struct.pack_into("<I", page, 0, fc)
+        for k, (lim, _) in enumerate(runs):
+            struct.pack_into("<I", page, 4 * (k + 1), lim)
+        blob_at = {"h": 470, "t": 476, "r": 486}
+        for key, off in blob_at.items():
+            blob = {"h": blob_h, "t": blob_t, "r": blob_r}[key]
+            page[off:off + len(blob)] = blob
+        for k, (_, kind) in enumerate(runs):
+            page[(crun + 1) * 4 + k * 13] = (
+                0 if kind == "p" else blob_at[kind] // 2)
+        page[511] = crun
+        fc_first = TEXT_AT
         pn = -(-len(word_stream) // 512)
         word_stream = word_stream + b"\x00" * (pn * 512 - len(word_stream))
         word_stream += bytes(page)
