@@ -24,6 +24,13 @@ Supported (all from scratch):
   arrays, or the standard-14 AFM metrics (Helvetica/Times/Courier
   families, public Adobe Core 14 data) keyed by /BaseFont; estimated
   widths (CHAR_WIDTH_FRAC) only as the fallback for unknown fonts
+- simple-font /Encoding: /WinAnsiEncoding (cp1252) and
+  /MacRomanEncoding named bases, /Differences glyph-name remapping via
+  an Adobe-Glyph-List subset (+ uniXXXX/uXXXX positional names), and
+  simple-font /ToUnicode CMaps (which win over Differences); Type3
+  fonts extract through the same machinery with /FontMatrix-scaled
+  /Widths (an unmappable glyph name with no ToUnicode raises — never
+  silent mojibake)
 - composite Type0 fonts: /Identity-H (and -V) 2-byte CIDs, the
   predefined UniXX-UCS2 encodings (code = UCS-2 code point; CJK text
   extracts without Adobe registry tables, widths via /DW), and embedded
@@ -712,7 +719,7 @@ class _Font:
 
     __slots__ = (
         "type0", "widths", "default_w", "to_unicode",
-        "codespace", "cid_chars", "cid_ranges", "ucs2",
+        "codespace", "cid_chars", "cid_ranges", "ucs2", "charmap",
     )
 
     def __init__(self):
@@ -730,6 +737,9 @@ class _Font:
         self.cid_chars: dict[int, int] | None = None
         self.cid_ranges: list[tuple[int, int, int]] = []
         self.ucs2 = False
+        # simple-font code→char overrides (named encodings, Differences
+        # glyph names, ToUnicode); None = raw latin-1
+        self.charmap: dict[int, str] | None = None
 
     def _codes(self, raw: bytes) -> list[int]:
         """String bytes → character codes via the codespace ranges
@@ -799,17 +809,17 @@ class _Font:
                     if cid is not None else self.default_w
                 )
             return "".join(parts), width
-        if raw is not None:
+        if raw is None:
+            raw = _decode_pdf_string_bytes(token[1:-1])
+        if self.charmap is None:
             text = raw.decode("latin-1")
         else:
-            text = _decode_pdf_string(token[1:-1])
+            cm = self.charmap
+            text = "".join(cm.get(b, chr(b)) for b in raw)
+        # widths key by the CODE byte (not the mapped character)
         if self.widths is None:
-            return text, len(text) * 1000.0 * CHAR_WIDTH_FRAC
-        width = sum(
-            self.widths.get(ord(ch), self.default_w) if ord(ch) < 0x10000
-            else self.default_w
-            for ch in text
-        )
+            return text, len(raw) * 1000.0 * CHAR_WIDTH_FRAC
+        width = sum(self.widths.get(b, self.default_w) for b in raw)
         return text, width
 
 
@@ -944,6 +954,150 @@ def _parse_cid_cmap(
 _UCS2_CMAP_RE = re.compile(rb"Uni(?:GB|CNS|JIS|JISX0213|KS)-UCS2-[HV]$")
 
 
+# Adobe Glyph List subset (public AGL data): the names real Latin-text
+# subset fonts use in /Differences arrays.  Single-letter names map to
+# themselves and uniXXXX/uXXXX names decode positionally, so only the
+# multi-letter conventional names need a table.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ",
+    "ffl": "ﬄ", "florin": "ƒ", "fraction": "⁄",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "perthousand": "‰", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "section": "§", "paragraph": "¶",
+    "periodcentered": "·", "middot": "·", "cent": "¢",
+    "sterling": "£", "yen": "¥", "currency": "¤",
+    "Euro": "€", "brokenbar": "¦", "exclamdown": "¡",
+    "questiondown": "¿", "germandbls": "ß",
+    "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+    "Oslash": "Ø", "oslash": "ø", "Aring": "Å",
+    "aring": "å", "Ccedilla": "Ç", "ccedilla": "ç",
+    "Ntilde": "Ñ", "ntilde": "ñ", "Atilde": "Ã",
+    "atilde": "ã", "Otilde": "Õ", "otilde": "õ",
+    "dotlessi": "ı", "Thorn": "Þ", "thorn": "þ",
+    "Eth": "Ð", "eth": "ð", "mu": "µ",
+    "Agrave": "À", "agrave": "à", "Aacute": "Á",
+    "aacute": "á", "Acircumflex": "Â", "acircumflex": "â",
+    "Adieresis": "Ä", "adieresis": "ä",
+    "Egrave": "È", "egrave": "è", "Eacute": "É",
+    "eacute": "é", "Ecircumflex": "Ê", "ecircumflex": "ê",
+    "Edieresis": "Ë", "edieresis": "ë",
+    "Igrave": "Ì", "igrave": "ì", "Iacute": "Í",
+    "iacute": "í", "Icircumflex": "Î", "icircumflex": "î",
+    "Idieresis": "Ï", "idieresis": "ï",
+    "Ograve": "Ò", "ograve": "ò", "Oacute": "Ó",
+    "oacute": "ó", "Ocircumflex": "Ô", "ocircumflex": "ô",
+    "Odieresis": "Ö", "odieresis": "ö",
+    "Ugrave": "Ù", "ugrave": "ù", "Uacute": "Ú",
+    "uacute": "ú", "Ucircumflex": "Û", "ucircumflex": "û",
+    "Udieresis": "Ü", "udieresis": "ü",
+    "Yacute": "Ý", "yacute": "ý", "ydieresis": "ÿ",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "Ydieresis": "Ÿ",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
+    "caron": "ˇ", "minus": "−", "nbspace": " ",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³",
+    "logicalnot": "¬", "softhyphen": "­", "acute": "´",
+}
+
+
+def _glyph_char(name: str) -> str | None:
+    """AGL glyph name → character, or None when unmappable."""
+    if len(name) == 1:
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _parse_differences(src: bytes) -> dict[int, str]:
+    """/Differences array → {code: glyph name}: integers set the next
+    code, names assign consecutively."""
+    out: dict[int, str] = {}
+    code = 0
+    for tok in re.findall(rb"/([A-Za-z0-9_.]+)|(-?\d+)", src):
+        name, num = tok
+        if num:
+            code = int(num)
+        else:
+            out[code] = name.decode("latin-1")
+            code += 1
+    return out
+
+
+def _simple_charmap(
+    objects: dict[int, bytes], h: bytes, base_name: bytes | None,
+) -> dict[int, str] | None:
+    """code → char overrides for a simple font's /Encoding: named base
+    encodings (WinAnsi ≈ cp1252, MacRoman) and /Differences glyph
+    names.  None = default latin-1 behavior.  An unmappable glyph name
+    raises (no ToUnicode to rescue it → silent mojibake otherwise)."""
+    charmap: dict[int, str] = {}
+    diffs_src = None
+    if base_name is None:
+        enc = _dict_value(objects, h, b"Encoding")
+        if enc is None:
+            return None
+        eh = _head(enc)
+        bm = re.search(rb"/BaseEncoding\s*/([A-Za-z0-9]+)", eh)
+        base_name = bm.group(1) if bm else None
+        dm = re.search(rb"/Differences\s*(\[)", eh)
+        if dm:
+            diffs_src = _balanced(eh, dm.start(1), b"[", b"]")
+    if base_name == b"WinAnsiEncoding":
+        for b in range(0x80, 0x100):
+            try:
+                charmap[b] = bytes([b]).decode("cp1252")
+            except UnicodeDecodeError:
+                pass
+    elif base_name == b"MacRomanEncoding":
+        for b in range(0x80, 0x100):
+            charmap[b] = bytes([b]).decode("mac-roman")
+    elif base_name not in (None, b"StandardEncoding", b"PDFDocEncoding"):
+        raise ValueError(
+            f"unsupported base encoding /{base_name.decode('latin-1')}"
+        )
+    if diffs_src:
+        for code, gname in _parse_differences(diffs_src).items():
+            ch = _glyph_char(gname)
+            if ch is None:
+                raise ValueError(
+                    f"unmappable glyph name /{gname} in /Differences"
+                )
+            charmap[code] = ch
+    return charmap or None
+
+
 def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
     """One /Font object body → _Font (metrics + decoding)."""
     h = _head(body)
@@ -986,26 +1140,58 @@ def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
             if payload:
                 f.to_unicode = _parse_tounicode(payload)
         return f
-    # simple font: embedded /Widths beats standard-14 beats estimate
+    # simple font (Type1/TrueType/Type3): embedded /Widths beats
+    # standard-14 beats estimate; /Encoding named bases + /Differences
+    # glyph names and /ToUnicode override the raw latin-1 decode
+    type3 = re.search(rb"/Subtype\s*/Type3\b", h) is not None
     bm = re.search(rb"/BaseFont\s*/([A-Za-z0-9_.+-]+)", h)
     base = bm.group(1).decode("latin-1") if bm else ""
     std = _std_widths(base) if base else None
     widths: dict[int, float] | None = (
         {k: float(v) for k, v in std.items()} if std else None
     )
+    w_scale = 1.0
+    if type3:
+        # Type3 glyph space → text space via /FontMatrix; advances
+        # convert to the same 1/1000-em units the other fonts use
+        widths = None
+        fmm = re.search(rb"/FontMatrix\s*(\[)", h)
+        if fmm:
+            vals = re.findall(
+                rb"-?(?:\d+\.?\d*|\.\d+)",
+                _balanced(h, fmm.start(1), b"[", b"]"),
+            )
+            if vals:
+                w_scale = abs(float(vals[0])) * 1000.0
+        else:
+            w_scale = 0.001 * 1000.0  # spec default matrix [0.001 …]
     w_src = _dict_value(objects, h, b"Widths")
     if w_src is not None:
         fc = re.search(rb"/FirstChar\s+(\d+)", h)
         first = int(fc.group(1)) if fc else 0
         vals = re.findall(rb"-?\d+(?:\.\d+)?", _head(w_src))
-        widths = dict(widths or {})
+        widths = dict(widths or {}) if not type3 else {}
         for i, v in enumerate(vals):
-            widths[first + i] = float(v)
+            widths[first + i] = float(v) * (w_scale if type3 else 1.0)
     f.widths = widths
     if widths:
         nonzero = [w for w in widths.values() if w > 0]
         if nonzero:
             f.default_w = sum(nonzero) / len(nonzero)
+    em = re.search(rb"/Encoding\s*/([A-Za-z0-9]+)", h)
+    f.charmap = _simple_charmap(objects, h, em.group(1) if em else None)
+    tu = _ref(h, b"ToUnicode")
+    if tu is not None and tu in objects:
+        payload = _stream_payload(objects[tu], objects)
+        if payload:
+            cm = dict(f.charmap or {})
+            cm.update(_parse_tounicode(payload))  # ToUnicode wins
+            f.charmap = cm or None
+    if type3 and f.charmap is None:
+        raise ValueError(
+            "Type3 font without /Differences or /ToUnicode — glyph "
+            "procedures carry no text mapping"
+        )
     return f
 
 

@@ -1073,3 +1073,48 @@ def test_doc_stsh_heading_styles():
     degraded_words = re.sub(r"<[^>]+>", " ", degraded).split()
     for wd in words:
         assert wd in degraded_words
+
+
+def test_pdf_simple_font_encodings_and_type3():
+    """Simple-font /Encoding machinery: /Differences glyph names (AGL
+    subset + uniXXXX), /WinAnsiEncoding base (cp1252 high bytes), and
+    Type3 fonts with /FontMatrix-scaled widths; unmappable names raise
+    (→ pre-chunker), never silently mis-decode."""
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    def one_page(font_obj, content):
+        return _cid_pdf(font_obj, {}, content)
+
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            b"/Encoding << /Differences [65 /eacute /fi 200 /emdash] >> >>")
+    content = b"BT /F1 12 Tf 50 700 Td (cAB caf\\310) Tj ET"
+    assert pdf_to_blocks(one_page(font, content))[0]["text"] == "céﬁ caf—"
+
+    font2 = (b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+             b"/Encoding /WinAnsiEncoding >>")
+    content2 = b"BT /F1 12 Tf 50 700 Td (it\\222s \\226 ok) Tj ET"
+    assert pdf_to_blocks(one_page(font2, content2))[0]["text"] == \
+        "it’s – ok"
+
+    font3 = (b"<< /Type /Font /Subtype /Type3 "
+             b"/FontMatrix [0.001 0 0 0.001 0 0] "
+             b"/FirstChar 97 /Widths [500 600] "
+             b"/Encoding << /Differences [97 /a /b] >> >>")
+    assert pdf_to_blocks(
+        one_page(font3, b"BT /F1 12 Tf 50 700 Td (ab) Tj ET")
+    )[0]["text"] == "ab"
+
+    font5 = (b"<< /Type /Font /Subtype /Type1 /BaseFont /S "
+             b"/Encoding << /Differences [65 /uni4E2D] >> >>")
+    assert pdf_to_blocks(
+        one_page(font5, b"BT /F1 12 Tf 50 700 Td (A) Tj ET")
+    )[0]["text"] == "中"
+
+    font4 = (b"<< /Type /Font /Subtype /Type1 /BaseFont /S "
+             b"/Encoding << /Differences [65 /g123] >> >>")
+    with pytest.raises(ValueError, match="unmappable glyph"):
+        pdf_to_blocks(one_page(font4, content))
+    # Type3 with no text mapping at all is outside the subset
+    font6 = b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] >>"
+    with pytest.raises(ValueError, match="Type3"):
+        pdf_to_blocks(one_page(font6, content))
