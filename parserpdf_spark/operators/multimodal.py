@@ -8,13 +8,14 @@ Decode tiers:
   bottom-up BGR rows, 4-byte row padding) backs
   ``decode_features_real``, which computes genuine per-image pixel
   statistics (mean channel values, brightness) over Arrow batches.
-- **Real decode for baseline JPEG and PNG**: the two dominant web image
+- **Real decode for JPEG, PNG, and GIF**: the dominant web image
   formats decode through from-scratch codecs (kernels/jpeg.py — ITU
-  T.81 Huffman + IDCT over numpy; kernels/png.py — zlib + the five row
-  filters, indexed/alpha variants); ``decode_image_auto``
-  magic-dispatches BMP/JPEG/PNG payloads, so the /DCTDecode bytes the
-  PDF kernel surfaces and the docx ``word/media`` parts yield genuine
-  pixel features.
+  T.81 baseline + progressive; kernels/png.py — zlib + the five row
+  filters, indexed/alpha/interlace; kernels/gif.py — LSB-first LZW,
+  animation frames); ``decode_image_auto`` magic-dispatches
+  BMP/JPEG/PNG/GIF payloads and ``decode_frames_auto`` AVI/GIF, so the
+  /DCTDecode bytes the PDF kernel surfaces and the docx ``word/media``
+  parts yield genuine pixel features.
 - **Stub for the remaining compressed formats**: MP3/H.264 codecs
   aren't in this container, so ``decode_image_real`` raises
   NotImplementedError unless PIL is importable, and the gated default
@@ -290,7 +291,13 @@ def decode_image_auto(payload: bytes):
         from parserpdf_spark.kernels.png import decode_png
 
         return decode_png(data)
-    raise ValueError("unrecognized image magic (not BMP, JPEG, or PNG)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from parserpdf_spark.kernels.gif import decode_gif
+
+        w, h, frames = decode_gif(data, max_frames=1)
+        return w, h, frames[0]
+    raise ValueError(
+        "unrecognized image magic (not BMP, JPEG, PNG, or GIF)")
 
 
 def decode_features_real(media: DataFrame) -> DataFrame:
@@ -574,10 +581,23 @@ def corrupt_avi_payload(nid: int) -> bytes:
     return avi_payload(nid)[: 16 + nid % 24]
 
 
+def decode_frames_auto(payload: bytes):
+    """Magic-dispatched multi-frame decode: raw-frame AVI or animated
+    GIF → (width, height, [frames])."""
+    data = bytes(payload)
+    if data[:4] == b"RIFF":
+        return decode_avi_frames(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from parserpdf_spark.kernels.gif import decode_gif
+
+        return decode_gif(data)
+    raise ValueError("unrecognized video magic (not AVI or GIF)")
+
+
 def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
-    """REAL frame sampling: decode AVI payloads and emit every
-    ``every``-th frame with genuine per-frame statistics — the
-    row-expanding mapInPandas contract, now over real pixels;
+    """REAL frame sampling: decode AVI or animated-GIF payloads and
+    emit every ``every``-th frame with genuine per-frame statistics —
+    the row-expanding mapInPandas contract, now over real pixels;
     keep-with-status (a corrupt payload yields one decode_ok=false
     row)."""
 
@@ -589,7 +609,7 @@ def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
                 try:
-                    _, _, frames = decode_avi_frames(bytes(payload))
+                    _, _, frames = decode_frames_auto(bytes(payload))
                 except ValueError:
                     out["doc_id"].append(doc_id)
                     out["media_ref"].append(ref)
