@@ -90,7 +90,8 @@ def test_pdf_parser_never_crashes_uncontrolled(junk):
     except ValueError:
         pass
     row = route_file("/x/fuzz.pdf", junk)
-    assert row["ingest_status"] in ("ok", "needs_prechunk")
+    assert row["ingest_status"] in ("ok", "needs_prechunk", "encrypted",
+                                    "needs_ocr")
 
 
 @settings(max_examples=30, deadline=None)
@@ -108,6 +109,28 @@ def test_doc_cfb_parser_never_crashes_uncontrolled(junk):
             pass
         row = route_file("/x/fuzz.doc", data)
         assert row["ingest_status"] in ("ok", "error")
+
+
+@settings(max_examples=30, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=400))
+def test_encrypted_pdf_path_never_crashes_uncontrolled(junk):
+    """Arbitrary bytes routed through the DECRYPTION path (an /Encrypt
+    ref is always present) → only the triage statuses, never another
+    exception; the handler itself raises ValueError only."""
+    from parserpdf_spark.kernels.pdf_crypt import build_decryptor, file_id0
+    from parserpdf_spark.sources.files import route_file
+
+    shell = (b"%PDF-1.4\n9 0 obj\n<< /Filter /Standard /V 2 /R 3 "
+             b"/P -44 /O <" + junk[:32].hex().encode() + b"> /U <"
+             + junk[32:64].hex().encode() + b"> >>\nendobj\n"
+             + junk + b"\ntrailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n")
+    row = route_file("/x/fuzz_enc.pdf", shell)
+    assert row["ingest_status"] in ("encrypted", "needs_prechunk",
+                                    "needs_ocr", "ok")
+    try:
+        build_decryptor(junk, file_id0(junk))
+    except ValueError:
+        pass
 
 
 @settings(max_examples=40, deadline=None)
