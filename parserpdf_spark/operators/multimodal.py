@@ -296,8 +296,12 @@ def decode_image_auto(payload: bytes):
 
         w, h, frames = decode_gif(data, max_frames=1)
         return w, h, frames[0]
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from parserpdf_spark.kernels.tiff import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError(
-        "unrecognized image magic (not BMP, JPEG, PNG, or GIF)")
+        "unrecognized image magic (not BMP, JPEG, PNG, GIF, or TIFF)")
 
 
 def decode_features_real(media: DataFrame) -> DataFrame:
