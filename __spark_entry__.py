@@ -938,8 +938,9 @@ def q_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, driver-gated: deterministic BMP + baseline
-    JPEG (4:4:4 and 4:2:0) + corrupt payloads through the from-scratch
-    codecs (operators/multimodal.decode_image_auto, kernels/jpeg.py) —
+    JPEG (4:4:4 and 4:2:0) + PNG + GIF + LZW TIFF + corrupt payloads
+    through the from-scratch codecs (multimodal.decode_image_auto over
+    kernels/{jpeg,png,gif,tiff}.py) —
     genuine pixel statistics, keep-with-status on the corrupt arm.
     sf-independent by design (fixed id population); the oracle is the
     committed pure-python golden over the SAME producers
@@ -956,6 +957,12 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ids(lo: int, hi: int) -> DataFrame:
         return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
 
+    from parserpdf_spark.operators.multimodal import (
+        gif_payload,
+        png_payload,
+        tiff_payload,
+    )
+
     media = (
         attach_bmp_payloads(ids(0, 40))
         .unionByName(attach_jpeg_payloads(ids(40, 80)))
@@ -963,6 +970,12 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           subsample=True))
         .unionByName(_attach_media(ids(100, 120), "img_{doc_id}.jpg",
                                    corrupt_image_payload))
+        .unionByName(_attach_media(ids(120, 140), "img_{doc_id}.png",
+                                   png_payload))
+        .unionByName(_attach_media(ids(140, 160), "img_{doc_id}.gif",
+                                   gif_payload))
+        .unionByName(_attach_media(ids(160, 180), "img_{doc_id}.tif",
+                                   tiff_payload))
     )
     feats = decode_features_real(media)
     return feats.select(

@@ -574,6 +574,44 @@ def attach_avi_payloads(docs: DataFrame) -> DataFrame:
     return _attach_media(docs, "vid_{doc_id}.avi", avi_payload)
 
 
+def png_payload(nid: int) -> bytes:
+    """Deterministic REAL PNG bytes (lossless, PCG64-seeded pixels)."""
+    import numpy as np
+
+    from parserpdf_spark.kernels.png import encode_png
+
+    rng = np.random.default_rng(nid + 3 * 10**9)
+    w, h = 12 + nid % 11, 10 + nid % 7
+    return encode_png(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+def gif_payload(nid: int) -> bytes:
+    """Deterministic REAL GIF bytes (seeded palette + index frame)."""
+    import numpy as np
+
+    from parserpdf_spark.kernels.gif import encode_gif
+
+    rng = np.random.default_rng(nid + 4 * 10**9)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    w, h = 10 + nid % 9, 8 + nid % 6
+    idx = rng.integers(0, 8, size=(h, w), dtype=np.uint8)
+    return encode_gif([idx], pal, interlace=nid % 2 == 0)
+
+
+def tiff_payload(nid: int) -> bytes:
+    """Deterministic REAL TIFF bytes (LZW strips, seeded pixels)."""
+    import numpy as np
+
+    from parserpdf_spark.kernels.tiff import encode_tiff
+
+    rng = np.random.default_rng(nid + 5 * 10**9)
+    w, h = 11 + nid % 8, 9 + nid % 5
+    return encode_tiff(
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8),
+        compression=5, rows_per_strip=4,
+    )
+
+
 def corrupt_image_payload(nid: int) -> bytes:
     """A deterministically-truncated JPEG — exercises the
     decode_ok=false keep-with-status arm of the real decode tier."""

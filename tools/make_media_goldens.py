@@ -38,7 +38,10 @@ from parserpdf_spark.operators.multimodal import (  # noqa: E402
     corrupt_image_payload,
     decode_avi_frames,
     decode_image_auto,
+    gif_payload,
     jpeg_payload,
+    png_payload,
+    tiff_payload,
 )
 
 GOLDENS = os.path.join(REPO, "goldens")
@@ -51,6 +54,9 @@ MEDIA_RANGES = [
     (range(80, 100), "img_{nid}.jpg",
      lambda n: jpeg_payload(n, quality=85, subsample=True)),
     (range(100, 120), "img_{nid}.jpg", corrupt_image_payload),
+    (range(120, 140), "img_{nid}.png", png_payload),
+    (range(140, 160), "img_{nid}.gif", gif_payload),
+    (range(160, 180), "img_{nid}.tif", tiff_payload),
 ]
 FRAME_RANGES = [
     (range(0, 60), avi_payload),
