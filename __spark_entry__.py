@@ -989,10 +989,12 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_frame_counts_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling, driver-gated: deterministic raw-frame
-    AVI payloads (+ a corrupt arm) through the from-scratch RIFF codec,
-    every-2nd-frame sampling with genuine per-frame brightness,
-    aggregated per doc.  Oracle = committed pure-python golden."""
+    AVI + animated-GIF payloads (+ a corrupt arm) through the
+    from-scratch RIFF and GIF codecs, every-2nd-frame sampling with
+    genuine per-frame brightness, aggregated per doc.  Oracle =
+    committed pure-python golden."""
     from parserpdf_spark.operators.multimodal import (
+        animated_gif_payload,
         attach_avi_payloads,
         corrupt_avi_payload,
         frame_sample_real,
@@ -1002,8 +1004,12 @@ def q_frame_counts_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ids(lo: int, hi: int) -> DataFrame:
         return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
 
-    media = attach_avi_payloads(ids(0, 60)).unionByName(
-        _attach_media(ids(60, 80), "vid_{doc_id}.avi", corrupt_avi_payload)
+    media = (
+        attach_avi_payloads(ids(0, 60))
+        .unionByName(_attach_media(ids(60, 80), "vid_{doc_id}.avi",
+                                   corrupt_avi_payload))
+        .unionByName(_attach_media(ids(80, 100), "vid_{doc_id}.gif",
+                                   animated_gif_payload))
     )
     frames = frame_sample_real(media, every=2)
     return frames.groupBy("doc_id").agg(

@@ -618,6 +618,21 @@ def corrupt_image_payload(nid: int) -> bytes:
     return jpeg_payload(nid)[: 24 + nid % 40]
 
 
+def animated_gif_payload(nid: int) -> bytes:
+    """Deterministic animated GIF (2-5 frames) for the frame-sampling
+    tier — the GIF twin of :func:`avi_payload`."""
+    import numpy as np
+
+    from parserpdf_spark.kernels.gif import encode_gif
+
+    rng = np.random.default_rng(nid + 6 * 10**9)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    w, h = 8 + nid % 5, 6 + nid % 3
+    frames = [rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+              for _ in range(2 + nid % 4)]
+    return encode_gif(frames, pal)
+
+
 def corrupt_avi_payload(nid: int) -> bytes:
     """A deterministically-truncated AVI for the frame-sampling arm."""
     return avi_payload(nid)[: 16 + nid % 24]

@@ -34,9 +34,10 @@ sys.path.insert(0, REPO)
 from parserpdf_spark.operators.multimodal import (  # noqa: E402
     avi_payload,
     bmp_payload,
+    animated_gif_payload,
     corrupt_avi_payload,
     corrupt_image_payload,
-    decode_avi_frames,
+    decode_frames_auto,
     decode_image_auto,
     gif_payload,
     jpeg_payload,
@@ -61,6 +62,7 @@ MEDIA_RANGES = [
 FRAME_RANGES = [
     (range(0, 60), avi_payload),
     (range(60, 80), corrupt_avi_payload),
+    (range(80, 100), animated_gif_payload),
 ]
 FRAME_EVERY = 2
 
@@ -103,7 +105,7 @@ def frame_counts_rows() -> pd.DataFrame:
     for ids, make in FRAME_RANGES:
         for nid in ids:
             try:
-                _, _, frames = decode_avi_frames(make(nid))
+                _, _, frames = decode_frames_auto(make(nid))
             except ValueError:
                 rows.append({"doc_id": str(nid), "n_rows": 1, "n_decoded": 0,
                              "last_frame": None, "sum_brightness": None})
