@@ -5,8 +5,10 @@ extension gate ``converters/pdf_to_md.py:218``) and delegates parsing to
 Marker.  This container ships no docx library, but OOXML is a zip of
 XML, so a from-scratch stdlib parse (zipfile + ElementTree) covers the
 structural surface the extraction pipeline needs: headings (pStyle
-Heading1-6/Title), paragraph runs, tabs/breaks, tables, and embedded
-images (a:blip relationship ids resolved through document.xml.rels).
+Heading1-6/Title), paragraph runs, tabs/breaks, tables, numbered and
+bulleted lists (w:numPr / ListParagraph style → ``<ul><li>``, flat),
+and embedded images (a:blip relationship ids resolved through
+document.xml.rels).
 
 The output is the same normalized HTML dialect the synthesizer emits
 (``<body><article>…``), so documents flow through the existing HTML
@@ -51,11 +53,14 @@ def _rels(zf: zipfile.ZipFile) -> dict[str, str]:
     }
 
 
-def _para_html(p, rels: dict[str, str]) -> str:
+def _para_html(p, rels: dict[str, str]) -> tuple[str, bool]:
+    """→ (html fragment, is_list_item)."""
     style = ""
     pstyle = p.find(f"{_W}pPr/{_W}pStyle")
     if pstyle is not None:
         style = pstyle.get(f"{_W}val") or ""
+    is_item = (p.find(f"{_W}pPr/{_W}numPr") is not None
+               or style == "ListParagraph")
     parts: list[str] = []
     for node in p.iter():
         tag = node.tag
@@ -72,12 +77,14 @@ def _para_html(p, rels: dict[str, str]) -> str:
     text = "".join(parts)
     if style.startswith("Heading") and style[len("Heading"):].isdigit():
         lvl = min(max(int(style[len("Heading"):]), 1), 6)
-        return f"<h{lvl}>{text}</h{lvl}>"
+        return f"<h{lvl}>{text}</h{lvl}>", False
     if style == "Title":
-        return f"<h1>{text}</h1>"
+        return f"<h1>{text}</h1>", False
+    if is_item and text.strip():
+        return f"<li>{text}</li>", True
     if not text.strip() and "<img" not in text:
-        return ""  # empty paragraph (spacing) — no content
-    return f"<p>{text}</p>"
+        return "", False  # empty paragraph (spacing) — no content
+    return f"<p>{text}</p>", False
 
 
 def _table_html(tbl) -> str:
@@ -115,10 +122,23 @@ def docx_to_html(data: bytes) -> str:
         raise ValueError("document.xml has no w:body")
     rels = _rels(zf)
     out = ["<body><article>"]
+    in_list = False
     for child in body:
         if child.tag == f"{_W}p":
-            out.append(_para_html(child, rels))
+            html, is_item = _para_html(child, rels)
+            if is_item and not in_list:
+                out.append("<ul>")
+                in_list = True
+            elif in_list and not is_item:
+                out.append("</ul>")
+                in_list = False
+            out.append(html)
         elif child.tag == f"{_W}tbl":
+            if in_list:
+                out.append("</ul>")
+                in_list = False
             out.append(_table_html(child))
+    if in_list:
+        out.append("</ul>")
     out.append("</article></body>")
     return "".join(out)

@@ -1118,3 +1118,23 @@ def test_pdf_simple_font_encodings_and_type3():
     font6 = b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] >>"
     with pytest.raises(ValueError, match="Type3"):
         pdf_to_blocks(one_page(font6, content))
+
+
+def test_docx_lists_extract_as_list_spans():
+    """docx w:numPr paragraphs group into <ul><li> and extract as a
+    list span (doc_7: nid % 4 == 3 carries the 3-item list)."""
+    import pandas as pd
+
+    from parserpdf_spark.kernels import extract_document_safe
+
+    html = docx_to_html(_fixture_bytes("doc_7.docx"))
+    assert "<ul><li>" in html and html.count("<li>") == 3
+    spans, m = extract_document_safe([
+        {"kind": "html", "text": html, "media_ref": None, "offset": 0}
+    ])
+    assert m["status"] == "ok"
+    lists = [s for s in spans if s["kind"] == "list"]
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    words = [w for w in dict(
+        zip(src["doc_id"].astype(int), src["text"]))[7].split(" ") if w]
+    assert lists and lists[0]["text"] == "- " + "\n- ".join(words[3:6])

@@ -68,6 +68,17 @@ def _para(body, text: str, style: str | None = None):
     return p
 
 
+def _list_para(body, text: str):
+    p = ET.SubElement(body, _w("p"))
+    ppr = ET.SubElement(p, _w("pPr"))
+    numpr = ET.SubElement(ppr, _w("numPr"))
+    ET.SubElement(numpr, _w("ilvl"), {_w("val"): "0"})
+    ET.SubElement(numpr, _w("numId"), {_w("val"): "1"})
+    r = ET.SubElement(p, _w("r"))
+    t = ET.SubElement(r, _w("t"))
+    t.text = text
+
+
 def _image_para(body, rel_id: str):
     p = ET.SubElement(body, _w("p"))
     r = ET.SubElement(p, _w("r"))
@@ -96,13 +107,17 @@ def _table(body, cells2x3: list[str]):
 
 def build_docx(nid: int, text: str) -> bytes:
     """A realistic minimal OOXML package: heading + body paragraphs,
-    a table on even ids, an embedded image on ids with nid % 4 == 1."""
+    a table on even ids, an embedded image on ids with nid % 4 == 1,
+    a 3-item bulleted list (w:numPr) on ids with nid % 4 == 3."""
     words = _words(text)
     doc = ET.Element(_w("document"))
     body = ET.SubElement(doc, _w("body"))
     _para(body, " ".join(words[:HEAD_WORDS]), style="Heading1")
     if nid % 2 == 0:
         _table(body, [wd for wd in words[:6]])
+    if nid % 4 == 3 and len(words) >= 6:
+        for wd in words[3:6]:
+            _list_para(body, wd)
     with_image = nid % 4 == 1
     for chunk in _chunks(words[HEAD_WORDS:], PARA_WORDS):
         _para(body, " ".join(chunk))
