@@ -1663,6 +1663,7 @@ class PdfUnsupported(ValueError):
 
 def pdf_to_blocks_and_media(
     data: bytes,
+    require_text: bool = True,
 ) -> tuple[list[dict], list[dict]]:
     """PDF bytes → (pdf_block dicts, media payload rows).
 
@@ -1807,7 +1808,11 @@ def pdf_to_blocks_and_media(
                               "payload": _image_payload(objects, obj_num)})
             n_text_blocks += len(f_text)
         n_text_blocks += len(text_blocks)
-    if n_text_blocks == 0:
+    if n_text_blocks == 0 and require_text:
+        # require_text=False is the OCR-routing mode: a scanned PDF's
+        # page images still flow to the media sink, where an OCR fleet
+        # picks them up — the triage status says WHY, the payloads say
+        # WHAT to OCR
         n_imgs = sum(1 for b in blocks if b.get("media_ref")) or len(media)
         if n_imgs:
             raise PdfUnsupported(

@@ -196,10 +196,14 @@ def file_media_rows(path: str, content: bytes) -> list[dict[str, Any]]:
     error surfaces through the main :func:`route_file` bridge).
 
     - ``.pdf``: image XObject payloads (DCTDecode JPEGs byte-for-byte).
-      NB: this re-runs the PDF parse — the docs and media bridges are
-      deliberately independent narrow stages (different output schemas,
-      usually different runs); a pipeline needing both in one pass can
-      call ``pdf_to_blocks_and_media`` directly.
+      SCANNED (text-layer-absent) PDFs still surface their page images
+      here (``require_text=False``) — the docs bridge triages them
+      ``needs_ocr`` while this bridge delivers exactly the payloads an
+      OCR fleet needs.  NB: this re-runs the PDF parse — the docs and
+      media bridges are deliberately independent narrow stages
+      (different output schemas, usually different runs); a pipeline
+      needing both in one pass can call ``pdf_to_blocks_and_media``
+      directly.
     - ``.docx``: ``word/media/*`` zip parts, refs relative to ``word/``
       (matching the ``<img src="media/…">`` refs the shim kernel emits);
       legacy ``.doc`` has no media scope (text-only kernel)
@@ -210,7 +214,8 @@ def file_media_rows(path: str, content: bytes) -> list[dict[str, Any]]:
         from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
 
         try:
-            _, media = pdf_to_blocks_and_media(bytes(content))
+            _, media = pdf_to_blocks_and_media(bytes(content),
+                                               require_text=False)
         except ValueError:
             return []
         rows = [

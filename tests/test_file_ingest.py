@@ -1138,3 +1138,19 @@ def test_docx_lists_extract_as_list_spans():
     words = [w for w in dict(
         zip(src["doc_id"].astype(int), src["text"]))[7].split(" ") if w]
     assert lists and lists[0]["text"] == "- " + "\n- ".join(words[3:6])
+
+
+def test_scanned_pdf_surfaces_page_images_for_ocr_routing():
+    """A needs_ocr PDF still delivers its page images through the media
+    bridge (require_text=False), and the payload decodes through the
+    real JPEG codec — the exact hand-off an OCR fleet needs."""
+    from parserpdf_spark.operators.multimodal import decode_image_auto
+    from parserpdf_spark.sources.files import file_media_rows
+
+    data = _fixture_bytes("scanned_3.pdf")
+    assert route_file("/x/scanned_3.pdf", data)["ingest_status"] == \
+        "needs_ocr"
+    rows = file_media_rows("/x/scanned_3.pdf", data)
+    assert len(rows) == 1
+    w, h, rgb = decode_image_auto(rows[0]["payload"])
+    assert (w, h) == (64, 48) and rgb.shape == (48, 64, 3)
