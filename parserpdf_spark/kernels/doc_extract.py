@@ -18,15 +18,16 @@ carries digital text is parsed from scratch per the public [MS-CFB] and
 
 Output is the same normalized HTML dialect the docx shim emits
 (``<body><article>…``) so documents flow through the one extraction
-kernel.  Paragraph styles decode far enough to classify built-in
-Heading-N paragraphs: the STSH style sheet maps istd → sti (headings
-are sti 1..9), and PlcfBtePapx → PAPX FKP pages map each paragraph
-mark's FC to its istd — styled paragraphs become ``<hN>``.  Scope
-(honest): heading classification only (no character formatting), no
-tables, no embedded objects; style structures that fail to parse
-degrade to all-``<p>`` without losing text.  Anything outside the core
-text subset raises ValueError → the dispatcher's ``status="error"``
-contract.
+kernel.  Paragraph properties decode far enough for structure: the
+STSH style sheet maps istd → sti (headings are sti 1..9) and
+PlcfBtePapx → PAPX FKP pages map each paragraph mark's FC to its istd
+and table sprms — styled paragraphs become ``<hN>``, and
+sprmPFInTable/sprmPFTtp paragraphs (cells split at 0x07 marks, rows
+closed by TTP marks) become ``<table><tr><td>``.  Scope (honest): no
+character formatting, no embedded objects; style/table structures that
+fail to parse degrade to plain paragraphs without losing text.
+Anything outside the core text subset raises ValueError → the
+dispatcher's ``status="error"`` contract.
 """
 
 from __future__ import annotations
@@ -377,8 +378,16 @@ def _doc_paragraph_levels(
     except (ValueError, struct.error, IndexError):
         heading, runs = {}, []
 
+    import bisect
+
+    run_los = [r[0] for r in runs]  # bin-table order is fc order
+
     def props_at(fc: int) -> tuple[int, bool, bool]:
-        for lo, hi, istd, in_table, ttp in runs:
+        # binary search: a pathological file with millions of paragraph
+        # marks must not go quadratic over the run list
+        i = bisect.bisect_right(run_los, fc) - 1
+        if 0 <= i < len(runs):
+            lo, hi, istd, in_table, ttp = runs[i]
             if lo <= fc < hi:
                 return heading.get(istd, 0), in_table, ttp
         return 0, False, False

@@ -90,7 +90,7 @@ def decode_gif(payload: bytes, max_frames: int = 64):
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (missing GIF87a/89a signature)")
     w, h = struct.unpack_from("<HH", data, 6)
-    if w == 0 or h == 0 or w > 1 << 15 or h > 1 << 15:
+    if w == 0 or h == 0 or w > 1 << 15 or h > 1 << 15 or w * h > 1 << 26:
         raise ValueError("degenerate or implausible GIF dimensions")
     flags = data[10]
     pos = 13

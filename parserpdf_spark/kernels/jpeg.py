@@ -618,8 +618,13 @@ def _decode_scan(data, pos, frame, scan_map, qtables, htables,
     max_v = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
-    if mcus_x * mcus_y > 4_000_000:
+    if mcus_x * mcus_y > 1_000_000:
         raise ValueError("image too large for the pure-python decoder")
+    # allocation sanity: every MCU costs ≥1 entropy bit, so a huge SOF
+    # with a tiny payload must fail BEFORE the coefficient store
+    # allocates (crafted-bomb guard, not a format rule)
+    if mcus_x * mcus_y > (len(data) - pos) * 8 + 64:
+        raise ValueError("frame dimensions exceed the entropy data")
     comp_info = []
     for cid, hs, vs, tq in comps:
         sm = next((s for s in scan_map if s[0] == cid), None)
@@ -731,8 +736,13 @@ def _decode_progressive(data, pos, frame, qtables, htables,
     max_v = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
-    if mcus_x * mcus_y > 4_000_000:
+    if mcus_x * mcus_y > 1_000_000:
         raise ValueError("image too large for the pure-python decoder")
+    # allocation sanity: every MCU costs ≥1 entropy bit, so a huge SOF
+    # with a tiny payload must fail BEFORE the coefficient store
+    # allocates (crafted-bomb guard, not a format rule)
+    if mcus_x * mcus_y > (len(data) - pos) * 8 + 64:
+        raise ValueError("frame dimensions exceed the entropy data")
     store = []
     for cid, hs, vs, tq in comps:
         rows, cols = mcus_y * vs, mcus_x * hs

@@ -150,7 +150,7 @@ def decode_png(payload: bytes):
     if not seen_iend:
         raise ValueError("PNG without IEND (truncated)")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if w == 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
+    if w == 0 or h == 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
         raise ValueError("degenerate or implausible PNG dimensions")
     if depth not in (8, 16):
         raise ValueError(
@@ -165,12 +165,18 @@ def decode_png(payload: bytes):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if not idat:
         raise ValueError("PNG without IDAT data")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"broken PNG IDAT stream: {exc}") from exc
     nch = _CHANNELS[color_type]
     bypp = nch * (2 if depth == 16 else 1)
+    # bounded inflate: a PNG bomb (tiny IDAT → huge plaintext) must not
+    # allocate past the filtered-image size implied by the header
+    limit = h * (w * bypp + 1) + 8 * (w * bypp + 1)  # + Adam7 row slack
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), limit)
+        if d.decompress(b"", 1):
+            raise ValueError("PNG IDAT inflates past the image size")
+    except zlib.error as exc:
+        raise ValueError(f"broken PNG IDAT stream: {exc}") from exc
 
     if interlace == 0:
         pix = _unfilter(raw, h, w, bypp).reshape(h, w, bypp)

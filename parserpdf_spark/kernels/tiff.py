@@ -172,7 +172,7 @@ def decode_tiff(payload: bytes):
         return default
 
     w, h = one(256), one(257)
-    if w == 0 or h == 0 or w > 1 << 16 or h > 1 << 16:
+    if w == 0 or h == 0 or w > 1 << 16 or h > 1 << 16 or w * h > 1 << 26:
         raise ValueError("degenerate or implausible TIFF dimensions")
     comp = one(259, 1)
     photo = one(262)
@@ -207,8 +207,8 @@ def decode_tiff(payload: bytes):
             if len(dec) < expect:
                 raise ValueError("LZW strip shorter than rows")
         elif comp in (8, 32946):
-            try:
-                dec = zlib.decompress(strip)[:expect]
+            try:  # bounded inflate: never allocate past the strip size
+                dec = zlib.decompressobj().decompress(strip, expect)
             except zlib.error as exc:
                 raise ValueError(f"broken Deflate strip: {exc}") from exc
             if len(dec) < expect:

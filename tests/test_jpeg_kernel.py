@@ -225,3 +225,23 @@ def test_progressive_decoder_never_crashes_uncontrolled(junk, cut):
             decode_jpeg_baseline(data)
         except ValueError:
             pass
+
+
+def test_huge_sof_with_tiny_payload_fails_before_allocating():
+    """A crafted SOF declaring enormous dimensions over a few entropy
+    bytes must raise (allocation-bomb guard), in both the baseline and
+    progressive paths."""
+    import struct
+
+    for sof_marker in (b"\xff\xc0", b"\xff\xc2"):
+        seg = struct.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+        dqt = (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64))
+        dht = (b"\xff\xc4" + struct.pack(">H", 19 + 12) + b"\x00"
+               + bytes([0, 1] + [0] * 14) + bytes(range(12)))
+        sos = (b"\xff\xda" + struct.pack(">H", 8)
+               + bytes([1, 1, 0x00, 0, 63, 0]))
+        data = (b"\xff\xd8" + dqt + dht + sof_marker
+                + struct.pack(">H", 2 + len(seg)) + seg + sos
+                + b"\x00\x01\x02" + b"\xff\xd9")
+        with pytest.raises(ValueError, match="large|entropy"):
+            decode_jpeg_baseline(data)

@@ -210,3 +210,18 @@ def test_trns_transparency_palette_and_gray_key():
     wantg = g.copy()
     wantg[g == 77] = 255
     assert np.array_equal(outg[:, :, 0], wantg)
+
+
+def test_png_bomb_is_bounded():
+    """A tiny IDAT that inflates far past the declared image size must
+    raise, not allocate (zip-bomb guard)."""
+    bomb = zlib.compress(bytes(50_000_000), 9)  # ~48 KB → 50 MB
+    png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+           + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates|IDAT"):
+        decode_png(png)
+    huge = (_SIG + _chunk(b"IHDR",
+                          struct.pack(">IIBBBBB", 1 << 19, 1 << 19, 8, 2, 0, 0, 0))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png(huge)

