@@ -866,31 +866,30 @@ def _prog_scan(data, pos, scan_comps, ss, se, ah, al, htables,
                 tables.append(t)
             else:
                 tables.append(None)  # refinement reads raw bits only
-        if len(scan_comps) > 1 or True:
-            # MCU raster over the frame grid (also covers ns=1 frames
-            # with a single component: mcus == blocks there)
-            unit = 0
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    if (restart_interval and unit
-                            and unit % restart_interval == 0):
-                        next_segment()
-                    for (comp, _, _), tab in zip(scan_comps, tables):
-                        vs, hs = comp["vs"], comp["hs"]
-                        for by in range(vs):
-                            for bx in range(hs):
-                                coef = comp["coef"][my * vs + by][mx * hs + bx]
-                                if ah == 0:
-                                    t = reader.read_symbol(*tab)
-                                    if t > 11:
-                                        raise ValueError("invalid DC category")
-                                    comp["pred"] += _extend(
-                                        reader.read_bits(t), t)
-                                    coef[0] = comp["pred"] << al
-                                else:
-                                    if reader.read_bits(1):
-                                        coef[0] |= 1 << al
-                    unit += 1
+        # MCU raster over the frame grid (also covers single-component
+        # DC scans: the frame MCU grid is the block grid there)
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    next_segment()
+                for (comp, _, _), tab in zip(scan_comps, tables):
+                    vs, hs = comp["vs"], comp["hs"]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = comp["coef"][my * vs + by][mx * hs + bx]
+                            if ah == 0:
+                                t = reader.read_symbol(*tab)
+                                if t > 11:
+                                    raise ValueError("invalid DC category")
+                                comp["pred"] += _extend(
+                                    reader.read_bits(t), t)
+                                coef[0] = comp["pred"] << al
+                            else:
+                                if reader.read_bits(1):
+                                    coef[0] |= 1 << al
+                unit += 1
         return endpos
 
     # AC scan: single component, full-resolution block raster
