@@ -154,9 +154,12 @@ def _inv_mix_columns(s: list[int]) -> list[int]:
 
 
 def aes_encrypt_block(block: bytes, key: bytes) -> bytes:
+    return _encrypt_block_rks(block, _expand_key(key))
+
+
+def _encrypt_block_rks(block: bytes, rks: list[list[int]]) -> bytes:
     if len(block) != 16:
         raise ValueError("AES block must be 16 bytes")
-    rks = _expand_key(key)
     s = list(block)
     nr = len(rks) - 1
     _add_round_key(s, rks[0])
@@ -172,9 +175,12 @@ def aes_encrypt_block(block: bytes, key: bytes) -> bytes:
 
 
 def aes_decrypt_block(block: bytes, key: bytes) -> bytes:
+    return _decrypt_block_rks(block, _expand_key(key))
+
+
+def _decrypt_block_rks(block: bytes, rks: list[list[int]]) -> bytes:
     if len(block) != 16:
         raise ValueError("AES block must be 16 bytes")
-    rks = _expand_key(key)
     s = list(block)
     nr = len(rks) - 1
     _add_round_key(s, rks[nr])
@@ -202,9 +208,10 @@ def aes_cbc_decrypt(data: bytes, key: bytes, iv: bytes | None = None,
         raise ValueError("AES-CBC data not block-aligned")
     out = bytearray()
     prev = iv
+    rks = _expand_key(key)  # ONCE per call, not per block
     for i in range(0, len(data), 16):
         blk = data[i : i + 16]
-        dec = aes_decrypt_block(blk, key)
+        dec = _decrypt_block_rks(blk, rks)
         out += bytes(d ^ p for d, p in zip(dec, prev))
         prev = blk
     if unpad:
@@ -229,9 +236,10 @@ def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes,
         raise ValueError("unpadded AES-CBC data must be block-aligned")
     out = bytearray()
     prev = iv
+    rks = _expand_key(key)  # ONCE per call, not per block
     for i in range(0, len(data), 16):
         blk = bytes(d ^ p for d, p in zip(data[i : i + 16], prev))
-        enc = aes_encrypt_block(blk, key)
+        enc = _encrypt_block_rks(blk, rks)
         out += enc
         prev = enc
     return bytes(out)

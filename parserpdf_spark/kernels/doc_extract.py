@@ -217,11 +217,13 @@ def doc_to_text(data: bytes) -> str:
         raise ValueError(f"malformed .doc structure: {exc}") from exc
 
 
-def _doc_chars(data: bytes):
+def _doc_chars(data: bytes, internals=None):
     """Decoded text runs with their FC geometry:
     [(text, [(fc_of_first_char, bytes_per_char)])] — yields (run_text,
-    (fc0, step)) per piece so callers can compute any character's FC."""
-    word, table, pieces, ccp_text = _doc_internals(data)
+    (fc0, step)) per piece so callers can compute any character's FC.
+    ``internals`` lets a caller that already parsed the container share
+    the work (the CFB walk is the expensive part)."""
+    word, table, pieces, ccp_text = internals or _doc_internals(data)
     out: list[tuple[str, tuple[int, int]]] = []
     remaining = ccp_text
     for cp_start, cp_end, fc, compressed in pieces:
@@ -360,12 +362,13 @@ def _doc_paragraph_levels(
     decoding is BEST-EFFORT: any inconsistency in STSH/PAPX structures
     degrades to plain paragraphs (the text itself is never lost) — only
     the core text path raises."""
-    runs_chars = _doc_chars(data)  # raises for out-of-subset files
+    internals = _doc_internals(data)  # raises for out-of-subset files
+    runs_chars = _doc_chars(data, internals)
 
     heading: dict[int, int] = {}
     runs: list[tuple[int, int, int, bool, bool]] = []
     try:
-        word, table, _, _ = _doc_internals(data)
+        word, table, _, _ = internals
         (fc_stsh,) = struct.unpack_from("<I", word, 0x00A2)
         (lcb_stsh,) = struct.unpack_from("<I", word, 0x00A6)
         (fc_pap,) = struct.unpack_from("<I", word, 0x0102)

@@ -85,8 +85,16 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, max_pixels: int) -> list[in
 
 
 def decode_gif(payload: bytes, max_frames: int = 64):
-    """GIF bytes → (width, height, [HxWx3 uint8 RGB frames])."""
-    data = bytes(payload)
+    """GIF bytes → (width, height, [HxWx3 uint8 RGB frames]).
+
+    Malformed input raises ValueError only (keep-with-status)."""
+    try:
+        return _decode_gif(bytes(payload), max_frames)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed GIF structure: {exc}") from exc
+
+
+def _decode_gif(data: bytes, max_frames: int):
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (missing GIF87a/89a signature)")
     w, h = struct.unpack_from("<HH", data, 6)
@@ -115,7 +123,8 @@ def decode_gif(payload: bytes, max_frames: int = 64):
                 raise ValueError("truncated GIF extension")
             label = data[pos + 1]
             pos += 2
-            if label == 0xF9 and pos + 1 < len(data) and data[pos] >= 4:
+            if (label == 0xF9 and pos + 4 < len(data)
+                    and data[pos] >= 4):
                 gce_flags = data[pos + 1]
                 transparent = (data[pos + 4]
                                if gce_flags & 0x01 else None)

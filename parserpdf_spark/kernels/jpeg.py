@@ -501,12 +501,21 @@ def encode_jpeg_baseline(
 # ---------------------------------------------------------------------------
 
 def decode_jpeg_baseline(payload: bytes):
-    """Baseline JFIF bytes → (width, height, HxWx3 uint8 RGB array).
+    """JFIF bytes (baseline or progressive) → (width, height, HxWx3
+    uint8 RGB array).
 
     Grayscale streams are expanded to 3 identical channels so the
     feature stage sees one shape.  Raises ValueError outside the
-    supported subset (see module docstring)."""
-    data = bytes(payload)
+    supported subset (see module docstring); truncated marker segments
+    surface as ValueError too (keep-with-status contract), never
+    IndexError/struct.error."""
+    try:
+        return _decode_jpeg(bytes(payload))
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG structure: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes):
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -866,9 +875,32 @@ def _prog_scan(data, pos, scan_comps, ss, se, ah, al, htables,
                 tables.append(t)
             else:
                 tables.append(None)  # refinement reads raw bits only
-        # MCU raster over the frame grid (also covers single-component
-        # DC scans: the frame MCU grid is the block grid there)
+        def dc_block(comp, tab, coef):
+            if ah == 0:
+                t = reader.read_symbol(*tab)
+                if t > 11:
+                    raise ValueError("invalid DC category")
+                comp["pred"] += _extend(reader.read_bits(t), t)
+                coef[0] = comp["pred"] << al
+            else:
+                if reader.read_bits(1):
+                    coef[0] |= 1 << al
+
         unit = 0
+        if len(scan_comps) == 1:
+            # T.81 non-interleaved scan: the COMPONENT's own block
+            # raster (bh x bw), NOT the frame MCU grid — they differ
+            # whenever the component's sampling factor exceeds 1
+            comp, _, _ = scan_comps[0]
+            tab = tables[0]
+            for r_blk in range(comp["bh"]):
+                for c_blk in range(comp["bw"]):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        next_segment()
+                    dc_block(comp, tab, comp["coef"][r_blk][c_blk])
+                    unit += 1
+            return endpos
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 if (restart_interval and unit
@@ -878,17 +910,8 @@ def _prog_scan(data, pos, scan_comps, ss, se, ah, al, htables,
                     vs, hs = comp["vs"], comp["hs"]
                     for by in range(vs):
                         for bx in range(hs):
-                            coef = comp["coef"][my * vs + by][mx * hs + bx]
-                            if ah == 0:
-                                t = reader.read_symbol(*tab)
-                                if t > 11:
-                                    raise ValueError("invalid DC category")
-                                comp["pred"] += _extend(
-                                    reader.read_bits(t), t)
-                                coef[0] = comp["pred"] << al
-                            else:
-                                if reader.read_bits(1):
-                                    coef[0] |= 1 << al
+                            dc_block(comp, tab,
+                                     comp["coef"][my * vs + by][mx * hs + bx])
                 unit += 1
         return endpos
 
@@ -1173,6 +1196,7 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsample: bool = False,
     successive: bool = True,
+    dc_separate: bool = False,
 ) -> bytes:
     """HxWx3 uint8 RGB (or HxW gray) → progressive (SOF2) JFIF bytes.
 
@@ -1246,30 +1270,45 @@ def encode_jpeg_progressive(
             for xb in range(nbx):
                 yield grid[yb][xb]
 
-    # scan 1: interleaved DC first pass at Al
-    out += _sos_header(
-        [(comps[ci][0], (0x00 if ci == 0 else 0x01) << 4)
-         for ci in range(ncomp)], 0, 0, 0, al)
-    writer = _BitWriter()
-    preds = [0] * ncomp
-    # interleave components within each MCU (the frame MCU order)
-    iters = [mcu_blocks(ci) for ci in range(ncomp)]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(ncomp):
-                chs, cvs = samp_of[ci]
-                for _ in range(chs * cvs):
-                    coef = next(iters[ci])
-                    v = coef[0] >> al
-                    diff = v - preds[ci]
-                    preds[ci] = v
-                    t, code = _magnitude(diff) if diff else (0, 0)
-                    c, ln = dc_codes[ci][t]
-                    writer.write(c, ln)
-                    if t:
-                        writer.write(code, t)
-    writer.pad_to_byte()
-    out += writer.out
+    def emit_dc(writer, ci, coef, preds):
+        v = coef[0] >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        t, code = _magnitude(diff) if diff else (0, 0)
+        c, ln = dc_codes[ci][t]
+        writer.write(c, ln)
+        if t:
+            writer.write(code, t)
+
+    if dc_separate:
+        # one non-interleaved DC scan per component: T.81 block order
+        # is the component's OWN raster, not the frame MCU grid
+        for ci in range(ncomp):
+            out += _sos_header(
+                [(comps[ci][0], (0x00 if ci == 0 else 0x01) << 4)],
+                0, 0, 0, al)
+            writer = _BitWriter()
+            preds = [0] * ncomp
+            for coef in raster_blocks(ci):
+                emit_dc(writer, ci, coef, preds)
+            writer.pad_to_byte()
+            out += writer.out
+    else:
+        # scan 1: interleaved DC first pass at Al (frame MCU order)
+        out += _sos_header(
+            [(comps[ci][0], (0x00 if ci == 0 else 0x01) << 4)
+             for ci in range(ncomp)], 0, 0, 0, al)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        iters = [mcu_blocks(ci) for ci in range(ncomp)]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    chs, cvs = samp_of[ci]
+                    for _ in range(chs * cvs):
+                        emit_dc(writer, ci, next(iters[ci]), preds)
+        writer.pad_to_byte()
+        out += writer.out
 
     # per-component AC first passes, two spectral bands
     for ci in range(ncomp):

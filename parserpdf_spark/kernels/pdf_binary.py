@@ -175,6 +175,16 @@ def _split_objects(data: bytes) -> dict[int, bytes]:
     return objects
 
 
+def _object_gens(data: bytes) -> dict[int, int]:
+    """Object number → generation (the per-object encryption key mixes
+    in the low 2 generation bytes; incrementally-updated files have
+    gen > 0 objects)."""
+    return {
+        int(m.group(1)): int(m.group(2))
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data)
+    }
+
+
 def _parse_objects(data: bytes) -> dict[int, bytes]:
     """Object table of an UNENCRYPTED file.  PDF 1.5+ object streams
     (/Type /ObjStm) are expanded in place: their member dicts (catalog,
@@ -188,7 +198,8 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
 
 
 def _decrypt_objects(objects: dict[int, bytes], decryptor,
-                     skip: set[int]) -> None:
+                     skip: set[int],
+                     gens: dict[int, int] | None = None) -> None:
     """Decrypt every stream payload in place (before filters, before
     ObjStm expansion).  XRef streams are never encrypted per spec and
     are skipped; bodies are rebuilt with a direct /Length so downstream
@@ -203,7 +214,7 @@ def _decrypt_objects(objects: dict[int, bytes], decryptor,
         head, payload = framed
         if re.search(rb"/Type\s*/XRef\b", head):
             continue
-        dec = decryptor.decrypt(num, 0, payload)
+        dec = decryptor.decrypt(num, (gens or {}).get(num, 0), payload)
         newlen = str(len(dec)).encode()
         if re.search(rb"/Length\s+\d+\s+\d+\s+R", head):
             head2 = re.sub(rb"/Length\s+\d+\s+\d+\s+R",
@@ -1057,17 +1068,21 @@ def _parse_differences(src: bytes) -> dict[int, str]:
 
 def _simple_charmap(
     objects: dict[int, bytes], h: bytes, base_name: bytes | None,
-) -> dict[int, str] | None:
-    """code → char overrides for a simple font's /Encoding: named base
-    encodings (WinAnsi ≈ cp1252, MacRoman) and /Differences glyph
-    names.  None = default latin-1 behavior.  An unmappable glyph name
-    raises (no ToUnicode to rescue it → silent mojibake otherwise)."""
+) -> tuple[dict[int, str] | None, dict[int, str]]:
+    """(code → char overrides, unmappable code → glyph name) for a
+    simple font's /Encoding: named base encodings (WinAnsi ≈ cp1252,
+    MacRoman) and /Differences glyph names.  None = default latin-1
+    behavior.  Unmappable names are RETURNED, not raised — a
+    /ToUnicode CMap (merged by the caller) frequently rescues subset
+    names like /g3; only codes that stay unmapped after that merge may
+    raise (silent mojibake otherwise)."""
     charmap: dict[int, str] = {}
+    unmapped: dict[int, str] = {}
     diffs_src = None
     if base_name is None:
         enc = _dict_value(objects, h, b"Encoding")
         if enc is None:
-            return None
+            return None, {}
         eh = _head(enc)
         bm = re.search(rb"/BaseEncoding\s*/([A-Za-z0-9]+)", eh)
         base_name = bm.group(1) if bm else None
@@ -1091,11 +1106,10 @@ def _simple_charmap(
         for code, gname in _parse_differences(diffs_src).items():
             ch = _glyph_char(gname)
             if ch is None:
-                raise ValueError(
-                    f"unmappable glyph name /{gname} in /Differences"
-                )
-            charmap[code] = ch
-    return charmap or None
+                unmapped[code] = gname
+            else:
+                charmap[code] = ch
+    return charmap or None, unmapped
 
 
 def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
@@ -1179,7 +1193,8 @@ def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
         if nonzero:
             f.default_w = sum(nonzero) / len(nonzero)
     em = re.search(rb"/Encoding\s*/([A-Za-z0-9]+)", h)
-    f.charmap = _simple_charmap(objects, h, em.group(1) if em else None)
+    f.charmap, unmapped = _simple_charmap(
+        objects, h, em.group(1) if em else None)
     tu = _ref(h, b"ToUnicode")
     if tu is not None and tu in objects:
         payload = _stream_payload(objects[tu], objects)
@@ -1187,6 +1202,14 @@ def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
             cm = dict(f.charmap or {})
             cm.update(_parse_tounicode(payload))  # ToUnicode wins
             f.charmap = cm or None
+    still_unmapped = {c: g for c, g in unmapped.items()
+                      if c not in (f.charmap or {})}
+    if still_unmapped:
+        code, gname = next(iter(still_unmapped.items()))
+        raise ValueError(
+            f"unmappable glyph name /{gname} in /Differences "
+            "(and no /ToUnicode entry for its code)"
+        )
     if type3 and f.charmap is None:
         raise ValueError(
             "Type3 font without /Differences or /ToUnicode — glyph "
@@ -1705,7 +1728,8 @@ def pdf_to_blocks_and_media(
             raise PdfUnsupported(
                 f"encrypted PDF ({exc})", category="encrypted"
             ) from exc
-        _decrypt_objects(objects, decryptor, skip={enc_num})
+        _decrypt_objects(objects, decryptor, skip={enc_num},
+                         gens=_object_gens(data))
         _inline_objstm(objects)
     else:
         objects = _parse_objects(data)

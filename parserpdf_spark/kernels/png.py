@@ -168,8 +168,10 @@ def decode_png(payload: bytes):
     nch = _CHANNELS[color_type]
     bypp = nch * (2 if depth == 16 else 1)
     # bounded inflate: a PNG bomb (tiny IDAT → huge plaintext) must not
-    # allocate past the filtered-image size implied by the header
-    limit = h * (w * bypp + 1) + 8 * (w * bypp + 1)  # + Adam7 row slack
+    # allocate past the filtered-image size implied by the header.
+    # Adam7 partitions the pixels but adds one filter byte per sub-image
+    # row (≤ 1.875·h + 7 rows total across the seven passes).
+    limit = h * w * bypp + (2 * h + 16 if interlace else h) + 8
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), limit)
@@ -195,26 +197,33 @@ def decode_png(payload: bytes):
             at += need
             pix[y0::ys, x0::xs] = sub.reshape(ph, pw, bypp)
 
-    if depth == 16:  # big-endian samples: keep the high byte
-        samples = pix.reshape(h, w, nch, 2)[..., 0]
+    if depth == 16:  # big-endian samples: keep the high byte for output,
+        # FULL precision for tRNS color-key comparison (high-byte-only
+        # matching would whiten up to 256^3 non-transparent colors)
+        full = pix.reshape(h, w, nch, 2)
+        samples = full[..., 0]
+        samples16 = (full[..., 0].astype(np.uint16) << 8) | full[..., 1]
     else:
         samples = pix
+        samples16 = pix.astype(np.uint16)
 
     if color_type == 2:
         rgb = samples.reshape(h, w, 3)
         if trns is not None and len(trns) >= 6:
-            key = np.frombuffer(trns[:6], dtype=">u2").astype(np.int64)
-            key = (key >> 8 if depth == 16 else key & 0xFF).astype(np.uint8)
-            mask = (rgb == key).all(axis=-1)
+            key = np.frombuffer(trns[:6], dtype=">u2").astype(np.uint16)
+            if depth != 16:
+                key = key & 0xFF
+            mask = (samples16.reshape(h, w, 3) == key).all(axis=-1)
             rgb = rgb.copy()
             rgb[mask] = 255  # transparent key → white background
     elif color_type == 0:
         g = samples.reshape(h, w)
         if trns is not None and len(trns) >= 2:
             (key,) = struct.unpack(">H", trns[:2])
-            key = key >> 8 if depth == 16 else key & 0xFF
+            if depth != 16:
+                key = key & 0xFF
             g = g.copy()
-            g[g == key] = 255
+            g[samples16.reshape(h, w) == key] = 255
         rgb = np.stack([g, g, g], axis=-1)
     elif color_type == 3:
         if plte is None:

@@ -258,7 +258,7 @@ def decode_tiff(payload: bytes):
                           0, 255).astype(np.uint8)
     elif photo == 3:
         cmap = tags.get(320)
-        if not cmap or len(cmap) < 3 * 256 and len(cmap) % 3:
+        if not cmap or len(cmap) % 3 != 0 or len(cmap) < 3 * 2:
             raise ValueError("palette TIFF without a usable ColorMap")
         third = len(cmap) // 3
         pal = (np.array(cmap, dtype=np.uint32).reshape(3, third).T

@@ -1154,3 +1154,19 @@ def test_scanned_pdf_surfaces_page_images_for_ocr_routing():
     assert len(rows) == 1
     w, h, rgb = decode_image_auto(rows[0]["payload"])
     assert (w, h) == (64, 48) and rgb.shape == (48, 64, 3)
+
+
+def test_differences_glyph_rescued_by_tounicode():
+    """Subset fonts use non-AGL names (/g3) in /Differences while
+    shipping /ToUnicode; the raise must wait for the merge (review
+    finding)."""
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    tu = b"1 beginbfchar\n<41> <4E2D>\nendbfchar\n"
+    tuo = (f"<< /Length {len(tu)} >>".encode()
+           + b"\nstream\n" + tu + b"\nendstream")
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Sub "
+            b"/Encoding << /Differences [65 /g3] >> /ToUnicode 100 0 R >>")
+    pdf = _cid_pdf(font, {100: tuo},
+                   b"BT /F1 12 Tf 50 700 Td (A) Tj ET")
+    assert pdf_to_blocks(pdf)[0]["text"] == "中"

@@ -95,3 +95,11 @@ def test_multimodal_dispatch_gif():
     assert len(frames) == 2
     with pytest.raises(ValueError, match="magic"):
         decode_frames_auto(b"\x00\x01\x02")
+
+
+def test_truncated_gce_raises_valueerror():
+    """A GIF chopped inside the Graphic Control Extension used to
+    escape as IndexError (review finding)."""
+    bad = b"GIF89a" + bytes([4, 0, 3, 0, 0, 0, 0]) + b"\x21\xf9\x04\x01"
+    with pytest.raises(ValueError):
+        decode_gif(bad)

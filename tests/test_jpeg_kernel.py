@@ -245,3 +245,35 @@ def test_huge_sof_with_tiny_payload_fails_before_allocating():
                 + b"\x00\x01\x02" + b"\xff\xd9")
         with pytest.raises(ValueError, match="large|entropy"):
             decode_jpeg_baseline(data)
+
+
+def test_truncated_marker_segments_raise_valueerror_only():
+    """Empty/truncated SOF/SOS/DRI segments used to escape as
+    IndexError/struct.error; the kernel boundary must keep the
+    ValueError-only contract (review finding)."""
+    import struct
+
+    for bad in (b"\xff\xd8\xff\xc0" + struct.pack(">H", 2),
+                b"\xff\xd8\xff\xdd" + struct.pack(">H", 2),
+                b"\xff\xd8\xff\xda" + struct.pack(">H", 3) + b"\x02"):
+        with pytest.raises(ValueError):
+            decode_jpeg_baseline(bad)
+
+
+def test_progressive_separate_dc_scans_use_component_raster():
+    """A single-component DC scan orders blocks by the COMPONENT's own
+    raster, not the frame MCU grid — they differ exactly when the
+    component's sampling factor exceeds 1 (subsampled luma).  Review
+    finding: the old walk silently scrambled DC values."""
+    from parserpdf_spark.kernels.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(31)
+    for shape in ((32, 32, 3), (33, 41, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        _, _, base = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, 88, subsample=True))
+        for successive in (False, True):
+            _, _, prog = decode_jpeg_baseline(encode_jpeg_progressive(
+                img, 88, successive=successive, dc_separate=True,
+                subsample=True))
+            assert np.array_equal(prog, base), (shape, successive)

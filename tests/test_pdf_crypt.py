@@ -158,3 +158,44 @@ def test_malformed_encryption_dicts_stay_triage_not_crash():
     for data in cases:
         row = route_file("/x/weird.pdf", data)
         assert row["ingest_status"] == "encrypted"
+
+
+def test_generation_nonzero_objects_decrypt():
+    """The per-object key mixes in the generation's low 2 bytes; an
+    incrementally-updated file's gen>0 stream must decrypt (review
+    finding: gen was hardwired to 0)."""
+    import hashlib
+    import re
+    import struct
+
+    import pandas as pd
+
+    from make_file_fixtures import build_pdf, encrypt_pdf
+
+    from parserpdf_spark.kernels.crypto import rc4
+    from parserpdf_spark.kernels.pdf_binary import (
+        _raw_stream,
+        _split_objects,
+        pdf_to_blocks,
+    )
+    from parserpdf_spark.kernels.pdf_crypt import build_decryptor, file_id0
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    text = dict(zip(src["doc_id"].astype(int), src["text"]))[52]
+    enc = encrypt_pdf(build_pdf(52, text, compress=True), "rc4")
+    objs = _split_objects(enc)
+    em = None
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", enc):
+        em = m
+    dec = build_decryptor(objs[int(em.group(1))], file_id0(enc))
+    head, ct = _raw_stream(objs[5], objs)
+    pt = dec.decrypt(5, 0, ct)
+    ok = hashlib.md5(
+        dec.file_key + struct.pack("<I", 5)[:3] + struct.pack("<I", 7)[:2]
+    ).digest()[:16]
+    enc7 = enc.replace(b"\n5 0 obj\n", b"\n5 7 obj\n").replace(
+        head + b"stream\n" + ct, head + b"stream\n" + rc4(ok, pt))
+    got = [b["text"] for b in pdf_to_blocks(enc7)]
+    want = [b["text"]
+            for b in pdf_to_blocks(build_pdf(52, text, compress=True))]
+    assert got == want

@@ -225,3 +225,42 @@ def test_png_bomb_is_bounded():
             + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="implausible"):
         decode_png(huge)
+
+
+def test_tall_narrow_interlaced_png_decodes():
+    """Adam7 raw data carries ~1.875·h filter bytes; the bounded-inflate
+    limit must budget them (review finding: a valid 2x100 interlaced
+    image was rejected as a bomb)."""
+    rng = np.random.default_rng(33)
+    h, w = 100, 2
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+           + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _chunk(b"IEND", b""))
+    _, _, out = decode_png(png)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_16bit_trns_color_key_compares_full_precision():
+    """High-byte-only key matching whitened up to 256^3 wrong colors
+    (review finding): a pixel sharing only the key's high bytes must
+    survive."""
+    img16 = np.full((2, 2, 3), 0x1234, dtype=np.uint16)
+    img16[0, 0] = [0x1200, 0x1200, 0x1200]
+    raw = b"".join(b"\x00" + img16[y].astype(">u2").tobytes()
+                   for y in range(2))
+    png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+           + _chunk(b"tRNS", struct.pack(">HHH", 0x1234, 0x1234, 0x1234))
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    _, _, out = decode_png(png)
+    assert out[0, 0, 0] == 0x12          # NOT whitened
+    assert (out[1, 1] == 255).all()      # exact key match whitened
