@@ -398,15 +398,20 @@ def _doc_paragraph_levels(
     paras: list[tuple[str, str, int, bool, bool]] = []
     cur: list[str] = []
     for text, (fc0, step) in runs_chars:
-        for j, ch in enumerate(text):
+        off = 0  # BYTE offset within the piece: UTF-16 pieces advance 2
+        # bytes per CODE UNIT, and astral chars occupy TWO units — a
+        # python-char index would misplace every mark after an emoji
+        for ch in text:
+            units = 2 if (step == 2 and ord(ch) > 0xFFFF) else 1
             if ch in ("\r", "\x07"):
                 # the paragraph MARK's properties style the paragraph;
                 # 0x07 is both a paragraph mark and a cell/row mark
-                level, in_table, ttp = props_at(fc0 + j * step)
+                level, in_table, ttp = props_at(fc0 + off)
                 paras.append(("".join(cur), ch, level, in_table, ttp))
                 cur = []
             else:
                 cur.append(ch)
+            off += units * step
     if cur:
         paras.append(("".join(cur), "", 0, False, False))
     return paras

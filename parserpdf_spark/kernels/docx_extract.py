@@ -129,7 +129,9 @@ def docx_to_html(data: bytes) -> str:
             if is_item and not in_list:
                 out.append("<ul>")
                 in_list = True
-            elif in_list and not is_item:
+            elif in_list and not is_item and html:
+                # only CONTENT closes a list — Word authors commonly put
+                # empty spacing paragraphs between items
                 out.append("</ul>")
                 in_list = False
             out.append(html)

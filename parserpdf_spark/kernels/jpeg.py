@@ -623,6 +623,12 @@ def _decode_scan(data, pos, frame, scan_map, qtables, htables,
     h, w, comps = frame
     if len(scan_map) != len(comps):
         raise ValueError("scan component count != frame component count")
+    if len(comps) == 1:
+        # T.81 A.2.2/B.2.3: a one-component scan is NON-interleaved —
+        # plain ceil(w/8) x ceil(h/8) block raster regardless of the
+        # SOF sampling factors (some encoders declare 2x2 on grayscale)
+        cid, _, _, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * max_h))
@@ -741,6 +747,9 @@ def _decode_progressive(data, pos, frame, qtables, htables,
     every scan into persistent per-component coefficient grids, then
     reconstruct once at EOI."""
     h, w, comps = frame
+    if len(comps) == 1:  # same T.81 single-component normalization as
+        cid, _, _, tq = comps[0]  # the baseline path
+        comps = [(cid, 1, 1, tq)]
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * max_h))

@@ -725,6 +725,15 @@ def _resources(objects: dict[int, bytes], num: int) -> bytes:
 # Fonts
 # ---------------------------------------------------------------------------
 
+def _safe_chr(cp: int) -> str:
+    """chr() that never emits lone surrogates or invalid code points —
+    an unpaired 0xD800-0xDFFF would survive into the text column and
+    blow up Arrow/Parquet UTF-8 serialization downstream."""
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return "�"
+    return chr(cp)
+
+
 class _Font:
     """Decoding + advance-width behavior of one page font."""
 
@@ -811,10 +820,9 @@ class _Font:
                 if code in self.to_unicode:
                     parts.append(self.to_unicode[code])
                 elif self.ucs2:
-                    parts.append(chr(code) if code <= 0x10FFFF else "�")
+                    parts.append(_safe_chr(code))
                 else:
-                    cp = cid if cid is not None else code
-                    parts.append(chr(cp) if cp <= 0x10FFFF else "�")
+                    parts.append(_safe_chr(cid if cid is not None else code))
                 width += (
                     (self.widths or {}).get(cid, self.default_w)
                     if cid is not None else self.default_w

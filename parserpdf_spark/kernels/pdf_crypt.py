@@ -101,6 +101,25 @@ def _string_at(head: bytes, at: int, key: bytes) -> bytes:
     raise ValueError(f"unterminated literal string for /{key.decode()}")
 
 
+def _balanced_dict(src: bytes, at: int) -> bytes:
+    """The balanced ``<< … >>`` region starting at ``src[at]``."""
+    depth = 0
+    i = at
+    while i < len(src) - 1:
+        two = src[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return src[at:i]
+        else:
+            i += 1
+    raise ValueError("unbalanced dictionary in /Encrypt")
+
+
 def _int_of(head: bytes, key: bytes, default: int | None = None) -> int | None:
     m = re.search(rb"/" + key + rb"\s+(-?\d+)", head)
     return int(m.group(1)) if m else default
@@ -200,26 +219,39 @@ def build_decryptor(
         raise ValueError("Standard handler without /O and /U strings")
 
     if v in (1, 2) or (v == 4 and r in (2, 3, 4)):
-        key_bits = _int_of(enc_head, b"Length", 40 if v == 1 else 128)
+        # scope /Length correctly: the /CF sub-dict has its own /Length
+        # (in BYTES) that must not shadow the top-level key length (bits)
+        cf_region = b""
+        cm = re.search(rb"/CF\s*(<<)", enc_head)
+        if cm:
+            cf_region = _balanced_dict(enc_head, cm.start(1))
+        head_sans_cf = (enc_head.replace(cf_region, b"")
+                        if cf_region else enc_head)
+        key_bits = _int_of(head_sans_cf, b"Length", 40 if v == 1 else 128)
         key_len = max(5, min(16, (key_bits or 40) // 8))
-        em = not re.search(rb"/EncryptMetadata\s+false", enc_head)
+        em = not re.search(rb"/EncryptMetadata\s+false", head_sans_cf)
         method = "rc4"
         if v == 4:
-            # crypt filter: /CF << /StdCF << /CFM /V2|/AESV2 >> >>
-            cfm = re.search(rb"/CFM\s*/([A-Za-z0-9]+)", enc_head)
-            name = cfm.group(1) if cfm else b"Identity"
-            if name == b"AESV2":
-                method = "aes"
-                key_len = 16
-            elif name == b"V2":
-                method = "rc4"
-            elif name == b"Identity":
+            # spec default: an ABSENT /StmF means Identity (streams
+            # plaintext); only /StmF /StdCF routes through the named
+            # crypt filter's /CFM
+            sf = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", head_sans_cf)
+            stmf = sf.group(1) if sf else b"Identity"
+            if stmf == b"Identity":
                 method = "identity"
             else:
-                raise ValueError(f"unsupported crypt filter {name.decode()}")
-            sf = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", enc_head)
-            if sf and sf.group(1) == b"Identity":
-                method = "identity"
+                cfm = re.search(rb"/CFM\s*/([A-Za-z0-9]+)", cf_region)
+                name = cfm.group(1) if cfm else b"Identity"
+                if name == b"AESV2":
+                    method = "aes"
+                    key_len = 16
+                elif name == b"V2":
+                    method = "rc4"
+                elif name == b"Identity":
+                    method = "identity"
+                else:
+                    raise ValueError(
+                        f"unsupported crypt filter {name.decode()}")
         key = _key_r234(password, o, p, id0, key_len, max(r, 2), em)
         if not _user_check_r234(key, id0, u, max(r, 2)):
             raise ValueError(

@@ -315,8 +315,6 @@ def encode_tiff(pixels, compression: int = 1, rows_per_strip: int = 0,
             extra.extend(struct.pack(bo + "I", v))
         return off
 
-    data_base_holder = [0]
-
     strip_offsets: list[int] = []
     strip_counts = [len(s) for s in strips]
     # compute final positions after we know the extra block size: strip
@@ -338,7 +336,6 @@ def encode_tiff(pixels, compression: int = 1, rows_per_strip: int = 0,
     else:
         so_value = strip_offsets[0]
         sc_value = strip_counts[0]
-    data_base_holder[0] = data_base
 
     entries = [
         (256, 4, 1, w),

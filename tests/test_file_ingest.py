@@ -1170,3 +1170,54 @@ def test_differences_glyph_rescued_by_tounicode():
     pdf = _cid_pdf(font, {100: tuo},
                    b"BT /F1 12 Tf 50 700 Td (A) Tj ET")
     assert pdf_to_blocks(pdf)[0]["text"] == "中"
+
+
+def test_doc_utf16_astral_chars_do_not_shift_style_lookup():
+    """UTF-16 pieces advance 2 bytes per CODE UNIT and astral chars
+    occupy two units; FC arithmetic must count units (review finding:
+    a python-char index misplaced every mark after an emoji)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import build_doc
+
+    from parserpdf_spark.kernels.doc_extract import doc_to_html
+
+    text = ("😀emoji 🎉title here and body words follow after "
+            "that point okay then")
+    html = doc_to_html(build_doc(1, text, styled=True, utf16=True))
+    assert html.startswith("<body><article><h1>😀emoji 🎉title here</h1>")
+    assert "🎉" in html
+
+
+def test_docx_blank_paragraph_does_not_split_list():
+    """Word authors put empty spacing paragraphs between list items;
+    the open <ul> must survive them (review finding)."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    ET.register_namespace("w", W)
+
+    def el(tag):
+        return f"{{{W}}}{tag}"
+
+    doc = ET.Element(el("document"))
+    body = ET.SubElement(doc, el("body"))
+    for i, item in enumerate(("alpha", "beta")):
+        p = ET.SubElement(body, el("p"))
+        ppr = ET.SubElement(p, el("pPr"))
+        ET.SubElement(ET.SubElement(ppr, el("numPr")), el("numId"),
+                      {el("val"): "1"})
+        t = ET.SubElement(ET.SubElement(p, el("r")), el("t"))
+        t.text = item
+        if i == 0:
+            ET.SubElement(body, el("p"))  # empty spacing paragraph
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml",
+                    ET.tostring(doc, encoding="unicode"))
+    html = docx_to_html(buf.getvalue())
+    assert html.count("<ul>") == 1
+    assert "<li>alpha</li>" in html and "<li>beta</li>" in html

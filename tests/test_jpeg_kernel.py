@@ -277,3 +277,22 @@ def test_progressive_separate_dc_scans_use_component_raster():
                 img, 88, successive=successive, dc_separate=True,
                 subsample=True))
             assert np.array_equal(prog, base), (shape, successive)
+
+
+def test_grayscale_with_declared_2x2_sampling_is_raster_ordered():
+    """T.81: a one-component scan is non-interleaved regardless of SOF
+    sampling factors.  Patch a gray baseline JPEG's sampling byte from
+    0x11 to 0x22: decode must be identical (review finding: the MCU
+    walk silently scrambled blocks)."""
+    rng = np.random.default_rng(41)
+    for shape in ((32, 32), (17, 29)):
+        g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        good = encode_jpeg_baseline(g, 90)
+        _, _, want = decode_jpeg_baseline(good)
+        at = good.index(b"\xff\xc0")
+        # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) cid(1) samp(1)
+        samp_at = at + 2 + 2 + 1 + 4 + 1 + 1
+        assert good[samp_at] == 0x11
+        patched = good[:samp_at] + b"\x22" + good[samp_at + 1:]
+        _, _, got = decode_jpeg_baseline(patched)
+        assert np.array_equal(got, want), shape

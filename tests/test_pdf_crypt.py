@@ -1,7 +1,16 @@
 """From-scratch crypto (kernels/crypto.py) + PDF standard security
 handler (kernels/pdf_crypt.py): FIPS-197 / classic public test vectors
 for the primitives, then encrypt→decrypt round-trips at every handler
-revision, wrong-password refusal, and the ingest triage path."""
+revision, wrong-password refusal, and the ingest triage path.
+
+Honest limitation: the AES/RC4/MD5/SHA PRIMITIVES are pinned to
+external known-answer vectors, but the R5/R6 KEY-DERIVATION composition
+(_hash_2b and the /U//UE layouts) is only round-trip-tested — no
+published R6 test file ships in this container, so a compositional
+deviation that both sides share would pass here and surface as
+real-world AES-256 files routing to 'encrypted'.  The R2-R4 MD5/RC4
+composition has the same caveat, partially offset by the algorithm
+being short enough to verify line-by-line against the spec text."""
 
 import json
 import os
@@ -199,3 +208,50 @@ def test_generation_nonzero_objects_decrypt():
     want = [b["text"]
             for b in pdf_to_blocks(build_pdf(52, text, compress=True))]
     assert got == want
+
+
+def test_v4_without_stmf_defaults_to_identity_streams():
+    """Spec: an absent /StmF means Identity — streams stay PLAINTEXT
+    even though /CF declares a filter (review finding: they were
+    'decrypted' into garbage).  Also: the /CF sub-dict's /Length (in
+    bytes) must not shadow the top-level key length (bits)."""
+    import hashlib
+    import re
+
+    from make_file_fixtures import build_pdf
+
+    from parserpdf_spark.kernels.crypto import rc4
+    from parserpdf_spark.kernels.pdf_crypt import _PAD, _key_r234
+
+    plain = _plain_and_variants()
+    id0 = bytes(range(16))
+    p = -44
+    # valid O/U for an empty user password (V4 R4, 128-bit)
+    okey = hashlib.md5(b"owner-pw" + _PAD[: 32 - 8]).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey[:16]).digest()
+    okey = okey[:16]
+    o = rc4(okey, _PAD)
+    for i in range(1, 20):
+        o = rc4(bytes(b ^ i for b in okey), o)
+    key = _key_r234(b"", o, p, id0, 16, 4, True)
+    x = rc4(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        x = rc4(bytes(b ^ i for b in key), x)
+    u = x + bytes(16)
+    # NOTE: /CF /Length 16 (bytes) appears BEFORE the top-level
+    # /Length 128 (bits), and /StmF is absent
+    enc_dict = (b"<< /Filter /Standard /V 4 /R 4 "
+                b"/CF << /StdCF << /CFM /V2 /Length 16 >> >> "
+                b"/Length 128 /P -44 "
+                b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+                + b"> >>")
+    doctored = plain.replace(
+        b"trailer\n",
+        b"90 0 obj\n" + enc_dict + b"\nendobj\ntrailer\n")
+    doctored = re.sub(
+        rb"trailer\s*<<",
+        b"trailer\n<< /Encrypt 90 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">]",
+        doctored, count=1)
+    assert _spans(doctored) == _spans(plain)

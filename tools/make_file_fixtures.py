@@ -293,7 +293,8 @@ def _cfb_container(streams: dict[str, bytes]) -> bytes:
     return body
 
 
-def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
+def build_doc(nid: int, text: str, styled: bool = False,
+              utf16: bool = False) -> bytes:
     """A real Word-97 binary ``.doc``: CFB container with a WordDocument
     stream (FIB + cp1252 text) and a 1Table stream (CLX piece table) —
     the same heading + paragraph text decomposition as the sibling
@@ -310,7 +311,7 @@ def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
     paras = [" ".join(words[:HEAD_WORDS])] + [
         " ".join(c) for c in _chunks(words[HEAD_WORDS:], PARA_WORDS)
     ]
-    with_table = styled and len(words) >= HEAD_WORDS + 6
+    with_table = styled and not utf16 and len(words) >= HEAD_WORDS + 6
     if with_table:
         # a 2x3 table after the heading (the docx builder's shape):
         # cells end with 0x07 marks, each row closed by a TTP 0x07
@@ -321,7 +322,10 @@ def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
                     + "\r".join(paras[1:]) + "\r")
     else:
         doc_text = "\r".join(paras) + "\r"
-    raw = doc_text.encode("cp1252")
+    # utf16=True writes an uncompressed UTF-16LE piece (fc bit 30 clear,
+    # fc NOT doubled) — the path where astral chars occupy two code
+    # units and FC arithmetic must count units, not python chars
+    raw = doc_text.encode("utf-16-le" if utf16 else "cp1252")
 
     TEXT_AT = 0x600
     fib = bytearray(TEXT_AT)
@@ -332,12 +336,12 @@ def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
     struct.pack_into("<H", fib, 0x20, 0x000E)   # csw
     struct.pack_into("<H", fib, 0x3E, 0x0016)   # cslw
     struct.pack_into("<I", fib, 0x40, TEXT_AT + len(raw))  # cbMac
-    struct.pack_into("<I", fib, 0x4C, len(doc_text))       # ccpText
+    ccp = (len(raw) // 2) if utf16 else len(doc_text)
+    struct.pack_into("<I", fib, 0x4C, ccp)                 # ccpText
     struct.pack_into("<H", fib, 0x98, 0x005D)   # cbRgFcLcb (93 pairs)
     # CLX sits at offset 0 of 1Table
-    plc = struct.pack("<II", 0, len(doc_text)) + struct.pack(
-        "<HIH", 0, (TEXT_AT * 2) | 0x40000000, 0
-    )
+    fc_field = TEXT_AT if utf16 else ((TEXT_AT * 2) | 0x40000000)
+    plc = struct.pack("<II", 0, ccp) + struct.pack("<HIH", 0, fc_field, 0)
     clx = b"\x02" + struct.pack("<I", len(plc)) + plc
     struct.pack_into("<I", fib, 0x01A2, 0)          # fcClx
     struct.pack_into("<I", fib, 0x01A6, len(clx))   # lcbClx
@@ -362,7 +366,8 @@ def build_doc(nid: int, text: str, styled: bool = False) -> bytes:
         blob_r = (b"\x00\x04" + struct.pack("<H", 0)
                   + b"\x16\x24\x01" + b"\x17\x24\x01")
         fc = TEXT_AT
-        head_end = fc + len(paras[0].encode("cp1252")) + 1
+        enc = "utf-16-le" if utf16 else "cp1252"
+        head_end = fc + len((paras[0] + "\r").encode(enc))
         runs: list[tuple[int, str]] = [(head_end, "h")]
         if with_table:
             at = head_end
@@ -757,9 +762,6 @@ def encrypt_pdf(pdf: bytes, variant: str, owner: bytes = b"owner-pw",
     # rewrite every stream payload as ciphertext, patching /Length
     objects = _split_objects(pdf)
     out = bytearray()
-    body_end = pdf.rfind(b"xref")
-    if body_end < 0:
-        body_end = pdf.rfind(b"trailer")
     out += pdf[: pdf.index(b"\n") + 1]  # %PDF- line
     for num in sorted(objects):
         body = objects[num]
