@@ -181,25 +181,90 @@ def decode_bmp(payload: bytes):
     header_size, w, h, _planes, bpp, compression = struct.unpack_from(
         "<IiiHHI", data, 14
     )
-    if header_size < 40 or bpp != 24 or compression != 0:
+    if header_size < 40 or bpp not in (8, 24, 32) or compression not in (0, 1):
         raise ValueError(
             f"unsupported BMP (header {header_size}, {bpp}bpp, "
-            f"compression {compression}) — 24-bit BI_RGB only"
+            f"compression {compression}) — 8/24/32-bit BI_RGB or "
+            "8-bit BI_RLE8 only"
         )
+    if compression == 1 and bpp != 8:
+        raise ValueError("BI_RLE8 requires 8bpp")
     top_down = h < 0
     h = abs(h)
-    if w <= 0 or h <= 0:
-        raise ValueError("degenerate BMP dimensions")
-    row_len = (w * 3 + 3) & ~3
+    if w <= 0 or h <= 0 or w * h > 1 << 26:
+        raise ValueError("degenerate or implausible BMP dimensions")
+    palette = None
+    if bpp == 8:
+        # color table sits between the info header and the pixels
+        (n_colors,) = struct.unpack_from("<I", data, 14 + 32)
+        n_colors = n_colors or 256
+        pal_at = 14 + header_size
+        if pal_at + 4 * n_colors > len(data):
+            raise ValueError("truncated BMP color table")
+        palette = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=pal_at
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX → RGB
+    if compression == 1:  # RLE8
+        idx = _bmp_rle8(data[pixel_off:], w, h)
+        rows = palette[idx]
+        if not top_down:
+            rows = rows[::-1]
+        return w, h, np.ascontiguousarray(rows)
+    nch = bpp // 8
+    row_len = (w * nch + 3) & ~3
     need = pixel_off + row_len * h
     if len(data) < need:
         raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(
         data, dtype=np.uint8, count=row_len * h, offset=pixel_off
-    ).reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    ).reshape(h, row_len)[:, : w * nch].reshape(h, w, nch)
     if not top_down:
         rows = rows[::-1]
-    return w, h, rows[:, :, ::-1]  # BGR → RGB
+    if bpp == 8:
+        if int(rows.max(initial=0)) >= len(palette):
+            raise ValueError("BMP palette index out of range")
+        return w, h, np.ascontiguousarray(palette[rows[:, :, 0]])
+    return w, h, np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) → RGB
+
+
+def _bmp_rle8(data: bytes, w: int, h: int):
+    """BI_RLE8 → (h, w) index array (bottom-up row order, as stored)."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a > 0:  # run
+            end = min(x + a, w)
+            if y < h:
+                out[y, x:end] = b
+            x = end
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            return out
+        elif b == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: b literal indices, word-aligned
+            if i + b > n:
+                raise ValueError("truncated BMP RLE literal run")
+            end = min(x + b, w)
+            if y < h:
+                out[y, x:end] = np.frombuffer(
+                    data, dtype=np.uint8, count=end - x, offset=i)
+            x = end
+            i += b + (b & 1)
+        if y > h:
+            raise ValueError("BMP RLE overruns image height")
+    raise ValueError("BMP RLE without end-of-bitmap marker")
 
 
 def _attach_media(docs: DataFrame, ref_fmt: str, make_payload) -> DataFrame:
@@ -372,10 +437,12 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """Mono 16-bit PCM RIFF/WAVE bytes → (sample_rate, int16 array).
+    """RIFF/WAVE bytes → (sample_rate, mono int16 array).
 
-    Walks the chunk list (fmt /data may be preceded by LIST/INFO etc.);
-    anything outside the mono-16-bit-PCM subset raises ValueError."""
+    Mono/stereo 8/16-bit PCM and 32-bit IEEE float decode (stereo
+    downmixes to mono, other widths rescale to int16); the chunk walk
+    tolerates LIST/INFO etc.  Anything outside that subset raises
+    ValueError."""
     import struct
 
     import numpy as np
@@ -385,7 +452,8 @@ def decode_wav(payload: bytes):
         raise ValueError("not a WAV (missing RIFF/WAVE header)")
     pos = 12
     rate = None
-    samples = None
+    raw_data = None
+    fmt_info = None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
@@ -397,16 +465,34 @@ def decode_wav(payload: bytes):
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1 or channels != 1 or bits != 16 or rate <= 0:
+            if (audio_fmt not in (1, 3) or channels not in (1, 2)
+                    or rate <= 0
+                    or (audio_fmt == 1 and bits not in (8, 16))
+                    or (audio_fmt == 3 and bits != 32)):
                 raise ValueError(
                     f"unsupported WAV ({audio_fmt=} {channels=} {bits=}) — "
-                    "mono 16-bit PCM only"
+                    "mono/stereo 8/16-bit PCM or 32-bit float only"
                 )
+            fmt_info = (audio_fmt, channels, bits)
         elif cid == b"data":
-            samples = np.frombuffer(body[: size & ~1], dtype="<i2")
+            raw_data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw_data is None or fmt_info is None:
         raise ValueError("WAV without fmt/data chunks")
+    audio_fmt, channels, bits = fmt_info
+    if audio_fmt == 3:  # IEEE float32 → int16 range
+        f = np.frombuffer(raw_data[: len(raw_data) & ~3], dtype="<f4")
+        samples = np.clip(f * 32767.0, -32768, 32767).astype(np.int16)
+    elif bits == 8:  # unsigned 8-bit → centered int16
+        u = np.frombuffer(raw_data, dtype=np.uint8)
+        samples = ((u.astype(np.int16) - 128) << 8)
+    else:
+        samples = np.frombuffer(raw_data[: len(raw_data) & ~1],
+                                dtype="<i2").copy()
+    if channels == 2:  # downmix to mono (mean of L/R)
+        samples = samples[: len(samples) & ~1].reshape(-1, 2)
+        samples = (samples.astype(np.int32).sum(axis=1) // 2).astype(
+            np.int16)
     return rate, samples
 
 

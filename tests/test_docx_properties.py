@@ -274,3 +274,93 @@ def test_md_thousands_of_consecutive_headings_no_recursion_error():
     spans = markdown_to_spans("# h\n" * 4000)
     assert len(spans) == 4000
     assert {s["kind"] for s in spans} == {"heading"}
+
+
+def test_bmp_variants_32bit_palette_rle8():
+    """BMP breadth: 32-bit BGRA, 8-bit palette, and BI_RLE8 decode to
+    expectations constructed independently in the test."""
+    import struct
+
+    import numpy as np
+
+    from parserpdf_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(51)
+    h32, w32 = 5, 6
+    bgra = rng.integers(0, 256, size=(h32, w32, 4), dtype=np.uint8)
+    body = b"".join(bgra[y].tobytes() for y in range(h32 - 1, -1, -1))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w32, h32, 1, 32, 0,
+                       len(body), 0, 0, 0, 0)
+    _, _, out = decode_bmp(hdr + info + body)
+    assert np.array_equal(out, bgra[:, :, 2::-1])
+
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 5), dtype=np.uint8)
+    row_len = (5 + 3) & ~3
+    body = b"".join(idx[y].tobytes() + bytes(row_len - 5)
+                    for y in range(3, -1, -1))
+    paltab = b"".join(bytes([int(c[2]), int(c[1]), int(c[0]), 0])
+                      for c in pal)
+    off = 54 + len(paltab)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 4, 1, 8, 0,
+                       len(body), 0, 0, 16, 0)
+    _, _, out = decode_bmp(hdr + info + paltab + body)
+    assert np.array_equal(out, pal[idx])
+
+    idx2 = np.array([[3, 3, 3, 7, 7], [1, 2, 2, 2, 2]], dtype=np.uint8)
+    rle = b""
+    for y in (1, 0):
+        row = idx2[y]
+        x = 0
+        while x < 5:
+            run = 1
+            while x + run < 5 and row[x + run] == row[x]:
+                run += 1
+            rle += bytes([run, row[x]])
+            x += run
+        rle += b"\x00\x00"
+    rle += b"\x00\x01"
+    off = 54 + len(paltab)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 2, 1, 8, 1,
+                       len(rle), 0, 0, 16, 0)
+    _, _, out = decode_bmp(hdr + info + paltab + rle)
+    assert np.array_equal(out, pal[idx2])
+
+
+def test_wav_variants_stereo_8bit_float():
+    """WAV breadth: stereo downmix, unsigned 8-bit rescale, IEEE
+    float32 conversion — expectations computed independently."""
+    import struct
+
+    import numpy as np
+
+    from parserpdf_spark.operators.multimodal import decode_wav
+
+    rng = np.random.default_rng(52)
+
+    def wav(fmt, ch, bits, payload, rate=8000):
+        fmtc = struct.pack("<HHIIHH", fmt, ch, rate,
+                           rate * ch * bits // 8, ch * bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmtc
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    st = rng.integers(-1000, 1000, size=(32, 2), dtype=np.int16)
+    _, s = decode_wav(wav(1, 2, 16, st.astype("<i2").tobytes()))
+    assert np.array_equal(
+        s, (st.astype(np.int32).sum(axis=1) // 2).astype(np.int16))
+
+    u8 = rng.integers(0, 256, size=40, dtype=np.uint8)
+    _, s = decode_wav(wav(1, 1, 8, u8.tobytes()))
+    assert np.array_equal(s, (u8.astype(np.int16) - 128) << 8)
+
+    f32 = (rng.random(24).astype("<f4") - 0.5)
+    _, s = decode_wav(wav(3, 1, 32, f32.tobytes()))
+    assert np.array_equal(
+        s, np.clip(f32 * 32767.0, -32768, 32767).astype(np.int16))
+
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(wav(1, 4, 16, bytes(64)))  # 4-channel outside subset
