@@ -3,9 +3,9 @@ decode / feature-extract / frame-sample stages as Arrow-batched UDFs.
 
 Decode tiers:
 
-- **Real decode for uncompressed formats**: a from-scratch 24-bit BMP
-  codec (``encode_bmp``/``decode_bmp``, stdlib struct + numpy — BI_RGB,
-  bottom-up BGR rows, 4-byte row padding) backs
+- **Real decode for uncompressed formats**: a from-scratch BMP
+  codec (``encode_bmp``/``decode_bmp``, stdlib struct + numpy — 24/32-bit
+  BI_RGB, 8-bit palette, BI_RLE8) backs
   ``decode_features_real``, which computes genuine per-image pixel
   statistics (mean channel values, brightness) over Arrow batches.
 - **Real decode for JPEG, PNG, and GIF**: the dominant web image
@@ -164,12 +164,13 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_bmp(payload: bytes):
-    """24-bit BI_RGB .bmp bytes → (width, height, HxWx3 uint8 RGB array).
+    """BMP bytes → (width, height, HxWx3 uint8 RGB array): 24-bit and
+    32-bit BI_RGB (alpha byte dropped), 8-bit palette, and BI_RLE8.
 
-    Raises ValueError for anything outside the supported subset
-    (compressed BMP, other bit depths, truncated data) — the
-    keep-with-status wrapper in :func:`decode_features_real` converts
-    that to a per-row status, never a task failure."""
+    Raises ValueError outside that subset (1/4-bit, BI_RLE4, bitfield
+    compressions, truncated data) — the keep-with-status wrapper in
+    :func:`decode_features_real` converts that to a per-row status,
+    never a task failure."""
     import struct
 
     import numpy as np

@@ -1221,3 +1221,48 @@ def test_docx_blank_paragraph_does_not_split_list():
     html = docx_to_html(buf.getvalue())
     assert html.count("<ul>") == 1
     assert "<li>alpha</li>" in html and "<li>beta</li>" in html
+
+
+def test_media_job_end_to_end(spark, tmp_path):
+    """The media-pipeline spark-submit entry: fixture corpus + standalone
+    media files → per-modality feature parquet with keep-with-status."""
+    import json
+    import shutil
+    from contextlib import redirect_stdout
+    import io as _io
+
+    import numpy as np
+
+    from parserpdf_spark.jobs.media_job import main
+    from parserpdf_spark.kernels.png import encode_png
+    from parserpdf_spark.operators.multimodal import (
+        encode_avi_frames,
+        encode_wav,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for name in ("doc_31.pdf", "scanned_3.pdf", "doc_1.docx"):
+        shutil.copy(os.path.join(FIXTURES, name), src)
+    rng = np.random.default_rng(3)
+    (src / "photo_1.png").write_bytes(
+        encode_png(rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)))
+    (src / "clip_1.wav").write_bytes(
+        encode_wav(rng.integers(-99, 99, 64, dtype=np.int16)))
+    (src / "vid_1.avi").write_bytes(encode_avi_frames(
+        [rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+         for _ in range(3)], 6, 4))
+    (src / "broken_1.jpg").write_bytes(b"\xff\xd8 truncated")
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--input", str(src), "--output",
+                   str(tmp_path / "out")], spark=spark)
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # images: doc_31 embedded jpeg + scanned page jpeg + docx png +
+    # standalone png decoded; the broken jpg is a decode_ok=false row
+    assert summary["images"]["rows"] == 5
+    assert summary["images"]["decoded"] == 4
+    assert summary["audio"] == {"rows": 1, "decoded": 1}
+    assert summary["video"]["rows"] == 2 and summary["video"]["decoded"] == 2
