@@ -42,7 +42,7 @@ if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
     ).rstrip(os.pathsep)
 
 _IMAGE_EXTS = (".bmp", ".jpg", ".jpeg", ".png", ".gif", ".tif", ".tiff")
-_AUDIO_EXTS = (".wav",)
+_AUDIO_EXTS = (".wav", ".flac")
 _VIDEO_EXTS = (".avi",)
 
 

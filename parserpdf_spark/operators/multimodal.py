@@ -512,10 +512,23 @@ def attach_wav_payloads(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
     return _attach_media(docs, "clip_{doc_id}.wav", make)
 
 
+def decode_audio_auto(payload: bytes):
+    """Magic-dispatched audio decode: RIFF/WAVE or FLAC →
+    (sample_rate, mono int16 array)."""
+    data = bytes(payload)
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from parserpdf_spark.kernels.flac import decode_flac
+
+        return decode_flac(data)
+    raise ValueError("unrecognized audio magic (not WAV or FLAC)")
+
+
 def decode_audio_features_real(media: DataFrame) -> DataFrame:
-    """REAL audio decode + features: WAV payloads → duration, RMS, peak
-    — keep-with-status per row, same Arrow-batched shape as the image
-    tier."""
+    """REAL audio decode + features: WAV or FLAC payloads → duration,
+    RMS, peak — keep-with-status per row, same Arrow-batched shape as
+    the image tier."""
     import numpy as np  # noqa: F401 - used via array methods below
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -529,7 +542,7 @@ def decode_audio_features_real(media: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["media_ref"].append(ref)
                 try:
-                    rate, samples = decode_wav(bytes(payload))
+                    rate, samples = decode_audio_auto(bytes(payload))
                     x = samples.astype(np.float64) / 32768.0
                 except ValueError:
                     out["decode_ok"].append(False)
