@@ -32,6 +32,12 @@ Routing (keep-with-status, mirroring the reference's extension gate at
   pre-chunker).
 - ``.md``/``.markdown`` → one ``kind="markdown"`` passthrough span (the
   reference collects markdown as-is, ``utils/file_utils.py:465-471``)
+- ``.epub``           → OCF/OPF spine walk (kernels/epub_extract.py)
+  concatenates the XHTML content documents in reading order into one
+  ``kind="html"`` span
+- ``.rtf``            → from-scratch control-word parser
+  (kernels/rtf_extract.py: headings via outlinelevel, tables via
+  cell/row marks, cp1252 + unicode escapes) → one ``kind="html"`` span
 - anything else       → ``ingest_status="skipped"``
 
 Embedded image PAYLOADS (PDF XObjects, docx media parts) ride a second
@@ -139,6 +145,22 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
                     f"outside the built-in pdf subset ({exc}); feed the "
                     "external pre-chunker's pdf_block spans instead"
                 )
+    elif suffix == ".epub":
+        from parserpdf_spark.kernels.epub_extract import epub_to_html
+
+        try:
+            row["spans"] = _html_span(epub_to_html(bytes(content)))
+        except ValueError as exc:
+            row["ingest_status"] = "error"
+            row["ingest_error"] = str(exc)
+    elif suffix == ".rtf":
+        from parserpdf_spark.kernels.rtf_extract import rtf_to_html
+
+        try:
+            row["spans"] = _html_span(rtf_to_html(bytes(content)))
+        except ValueError as exc:
+            row["ingest_status"] = "error"
+            row["ingest_error"] = str(exc)
     elif suffix in (".md", ".markdown"):
         try:
             row["spans"] = [{

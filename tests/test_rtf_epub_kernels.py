@@ -1,0 +1,114 @@
+"""RTF and EPUB shim kernels: control-word parsing (headings, tables,
+cp1252/unicode escapes, destination skipping) and OCF/OPF spine
+ordering, plus route_file integration and fuzz."""
+
+import io
+import os
+import sys
+import zipfile
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from parserpdf_spark.kernels.epub_extract import epub_to_html  # noqa: E402
+from parserpdf_spark.kernels.rtf_extract import rtf_to_html  # noqa: E402
+from parserpdf_spark.sources.files import route_file  # noqa: E402
+
+
+def test_rtf_structure_escapes_and_destinations():
+    rtf = ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times;}}"
+           "{\\info{\\title secret}}"
+           "\\outlinelevel0\\b Document Title\\b0\\par "
+           "\\pard Plain with \\i italics\\i0  and \\'e9 accent "
+           "and \\u20013 ? char.\\par "
+           "An em\\emdash dash and \\ldblquote quotes\\rdblquote.\\par "
+           "\\trowd\\cellx1000 CellA\\cell CellB\\cell\\row "
+           "\\trowd\\cellx1000 CellC\\cell CellD\\cell\\row "
+           "Last paragraph.\\par }").encode("ascii")
+    html = rtf_to_html(rtf)
+    assert html.startswith("<body><article><h1>Document Title</h1>")
+    assert "é accent" in html and "中" in html
+    assert "—" in html and "“quotes”" in html
+    assert ("<table><tr><td>CellA</td><td>CellB</td></tr>"
+            "<tr><td>CellC</td><td>CellD</td></tr></table>") in html
+    assert "secret" not in html  # {\info} destination skipped
+    assert "Times" not in html   # fonttbl skipped
+    assert "<p>Last paragraph.</p>" in html
+    with pytest.raises(ValueError, match="rtf"):
+        rtf_to_html(b"plain text, not rtf")
+
+
+def _epub(spine_first="c1"):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles>'
+            "</container>")
+        refs = ("c1", "c2") if spine_first == "c1" else ("c2", "c1")
+        zf.writestr(
+            "OEBPS/content.opf",
+            '<?xml version="1.0"?>'
+            '<package xmlns="http://www.idpf.org/2007/opf">'
+            '<manifest><item id="c2" href="ch2.xhtml"/>'
+            '<item id="c1" href="ch1.xhtml"/></manifest>'
+            "<spine>" + "".join(
+                f'<itemref idref="{r}"/>' for r in refs) + "</spine>"
+            "</package>")
+        zf.writestr("OEBPS/ch1.xhtml",
+                    "<html><body><h1>One</h1><p>first</p></body></html>")
+        zf.writestr("OEBPS/ch2.xhtml",
+                    "<html><body><p>second</p></body></html>")
+    return buf.getvalue()
+
+
+def test_epub_spine_order_controls_reading_order():
+    html = epub_to_html(_epub("c1"))
+    assert html.index("first") < html.index("second")
+    html = epub_to_html(_epub("c2"))
+    assert html.index("second") < html.index("first")
+
+
+def test_epub_broken_manifest_falls_back_to_members():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.xhtml", "<body><p>alpha</p></body>")
+        zf.writestr("b.xhtml", "<body><p>beta</p></body>")
+    html = epub_to_html(buf.getvalue())
+    assert "alpha" in html and "beta" in html
+    with pytest.raises(ValueError):
+        epub_to_html(b"not a zip at all")
+
+
+def test_route_file_rtf_and_epub():
+    rtf = ("{\\rtf1\\ansi \\outlinelevel0 Title\\par body text\\par }"
+           ).encode("ascii")
+    row = route_file("/x/a.rtf", rtf)
+    assert row["ingest_status"] == "ok"
+    assert "<h1>Title</h1>" in row["spans"][0]["text"]
+    row = route_file("/x/b.epub", _epub())
+    assert row["ingest_status"] == "ok"
+    assert "<h1>One</h1>" in row["spans"][0]["text"]
+    assert route_file("/x/c.rtf", b"junk")["ingest_status"] == "error"
+    assert route_file("/x/d.epub", b"junk")["ingest_status"] == "error"
+
+
+@settings(max_examples=25, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300))
+def test_rtf_epub_kernels_never_crash_uncontrolled(junk):
+    for data in (junk, b"{\\rtf1" + junk, b"PK\x03\x04" + junk):
+        for fn in (rtf_to_html, epub_to_html):
+            try:
+                fn(data)
+            except ValueError:
+                pass
+        for ext in (".rtf", ".epub"):
+            assert route_file(f"/x/f{ext}", data)["ingest_status"] in (
+                "ok", "error")

@@ -785,6 +785,81 @@ def encrypt_pdf(pdf: bytes, variant: str, owner: bytes = b"owner-pw",
     return bytes(out)
 
 
+def build_rtf(nid: int, text: str) -> bytes:
+    """An RTF document with the family's heading + paragraph shape,
+    plus a 2x3 table on even ids (mirroring build_docx)."""
+    words = _words(text)
+    parts = ["{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times;}}"]
+    parts.append("\\outlinelevel0 "
+                 + _rtf_escape(" ".join(words[:HEAD_WORDS])) + "\\par ")
+    if nid % 2 == 0 and len(words) >= 6:
+        for row in (words[:3], words[3:6]):
+            parts.append("\\trowd\\cellx2000\\cellx4000\\cellx6000 ")
+            for cell in row:
+                parts.append(_rtf_escape(cell) + "\\cell ")
+            parts.append("\\row ")
+    for chunk in _chunks(words[HEAD_WORDS:], PARA_WORDS):
+        parts.append("\\pard " + _rtf_escape(" ".join(chunk)) + "\\par ")
+    parts.append("}")
+    return "".join(parts).encode("ascii", "backslashreplace")
+
+
+def _rtf_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in "\\{}":
+            out.append("\\" + ch)
+        elif ord(ch) < 0x80:
+            out.append(ch)
+        else:
+            out.append(f"\\u{ord(ch)} ?")
+    return "".join(out)
+
+
+def build_epub(nid: int, text: str) -> bytes:
+    """A spine-ordered EPUB: heading + first half of the paragraphs in
+    chapter 1, the rest in chapter 2."""
+    import io
+
+    words = _words(text)
+    chunks = [" ".join(c) for c in _chunks(words[HEAD_WORDS:], PARA_WORDS)]
+    half = max(1, len(chunks) // 2)
+    ch1 = ("<html><body><h1>" + " ".join(words[:HEAD_WORDS]) + "</h1>"
+           + "".join(f"<p>{c}</p>" for c in chunks[:half])
+           + "</body></html>")
+    ch2 = ("<html><body>"
+           + "".join(f"<p>{c}</p>" for c in chunks[half:])
+           + "</body></html>")
+    buf = io.BytesIO()
+
+    class _DetZip(zipfile.ZipFile):
+        def writestr(self, name, data, *a, **kw):  # noqa: D102
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            super().writestr(info, data, *a, **kw)
+
+    with _DetZip(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles>'
+            "</container>")
+        zf.writestr(
+            "OEBPS/content.opf",
+            '<?xml version="1.0"?>'
+            '<package xmlns="http://www.idpf.org/2007/opf">'
+            '<manifest><item id="c2" href="ch2.xhtml"/>'
+            '<item id="c1" href="ch1.xhtml"/></manifest>'
+            '<spine><itemref idref="c1"/><itemref idref="c2"/></spine>'
+            "</package>")
+        zf.writestr("OEBPS/ch1.xhtml", ch1)
+        zf.writestr("OEBPS/ch2.xhtml", ch2)
+    return buf.getvalue()
+
+
 def build_scanned_pdf() -> bytes:
     """A scanned-style PDF: one page whose content is a single
     full-page image XObject Do — a real text-layer-absent document, so
@@ -891,6 +966,14 @@ def build_corpus() -> None:
     doc_id_styled = docx_ids[16]
     with open(os.path.join(FIXTURES, f"doc_{doc_id_styled}.doc"), "wb") as fh:
         fh.write(build_doc(doc_id_styled, by_id[doc_id_styled], styled=True))
+
+    # RTF and EPUB through their shim kernels
+    rtf_id = docx_ids[19]
+    with open(os.path.join(FIXTURES, f"doc_{rtf_id}.rtf"), "wb") as fh:
+        fh.write(build_rtf(rtf_id, by_id[rtf_id]))
+    epub_id = docx_ids[20]
+    with open(os.path.join(FIXTURES, f"doc_{epub_id}.epub"), "wb") as fh:
+        fh.write(build_epub(epub_id, by_id[epub_id]))
 
     # markdown passthrough fixtures: one plain, one exercising every
     # block kind the splitter handles
