@@ -50,11 +50,15 @@ def _standalone(files, exts):
     from pyspark.sql import functions as F
 
     lower = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    # doc_id follows sources.files._path_parts: the STEM, so media rows
+    # join back to docs/ingest-status rows on the shared convention
+    stem = F.regexp_replace(name, "\\.[^.]*$", "")
     return (
         files.filter(F.concat(F.lit("."), lower).isin(list(exts)))
         .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("doc_id"),
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("media_ref"),
+            stem.alias("doc_id"),
+            name.alias("media_ref"),
             F.col("content").alias("payload"),
         )
     )
@@ -84,14 +88,11 @@ def main(argv=None, spark=None) -> int:
         from pyspark.sql import functions as F
 
         from parserpdf_spark.operators.multimodal import (
-            decode_features_real,
-        )
-        from parserpdf_spark.sources.scans import scan_files
-
-        from parserpdf_spark.operators.multimodal import (
             decode_audio_features_real,
+            decode_features_real,
             frame_sample_real,
         )
+        from parserpdf_spark.sources.scans import scan_files
 
         files = scan_files(spark, args.input, "*",
                            with_content=True).cache()
@@ -112,6 +113,12 @@ def main(argv=None, spark=None) -> int:
         print(json.dumps(summary))
         return 0
     finally:
+        # the cache pins raw file bytes in executor storage — release it
+        # even when the session outlives the job (injected spark)
+        try:
+            files.unpersist()
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            pass
         if own_spark:
             spark.stop()
 

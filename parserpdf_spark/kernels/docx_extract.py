@@ -108,7 +108,11 @@ def docx_to_html(data: bytes) -> str:
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         doc = zf.read("word/document.xml")
-    except (zipfile.BadZipFile, KeyError, OSError, zlib.error) as exc:
+    except (zipfile.BadZipFile, KeyError, OSError, zlib.error,
+            RuntimeError, NotImplementedError) as exc:
+        # RuntimeError: password-protected entry; NotImplementedError:
+        # unsupported compression method — both must map to the
+        # status="error" contract, not kill the task
         # zlib.error: structurally-valid zip whose deflate body is
         # corrupt — must map to the status="error" contract, not a
         # task-killing exception

@@ -24,6 +24,7 @@ import posixpath
 import re
 import zipfile
 import zlib
+from urllib.parse import unquote
 
 _NS_CONTAINER = "{urn:oasis:names:tc:opendocument:xmlns:container}"
 _NS_OPF = "{http://www.idpf.org/2007/opf}"
@@ -49,6 +50,9 @@ def _spine_hrefs(zf: zipfile.ZipFile) -> list[str]:
     for ref in opf.iter(f"{_NS_OPF}itemref"):
         href = manifest.get(ref.get("idref") or "")
         if href:
+            # OPF hrefs are IRIs: strip any fragment and percent-decode
+            # before treating them as zip member names
+            href = unquote(href.split("#", 1)[0])
             hrefs.append(posixpath.normpath(posixpath.join(base, href)))
     if not hrefs:
         raise ValueError("OPF spine is empty")
@@ -82,8 +86,13 @@ def epub_to_html(data: bytes) -> str:
     for href in hrefs:
         try:
             raw = zf.read(href)
-        except (KeyError, zipfile.BadZipFile, zlib.error):
-            continue  # a missing spine item must not lose the rest
+        except (KeyError, zipfile.BadZipFile, zlib.error,
+                RuntimeError, NotImplementedError):
+            # missing, corrupt, DRM-encrypted (zipfile raises
+            # RuntimeError), or AES-compressed (NotImplementedError)
+            # spine items must not lose the rest of the book — and must
+            # NEVER escape as a non-ValueError task killer
+            continue
         try:
             text = raw.decode("utf-8")
         except UnicodeDecodeError:

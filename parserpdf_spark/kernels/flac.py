@@ -261,7 +261,11 @@ def decode_flac(payload: bytes):
             bits.read(16)
         elif rate_code == 15:
             raise ValueError("invalid FLAC sample-rate code")
-        fbps = _BPS_CODE.get(bps_code, bps)
+        if bps_code == 3:
+            raise ValueError("reserved FLAC frame bps code")
+        if bps_code == 7:
+            raise ValueError("32-bit FLAC outside the subset")
+        fbps = _BPS_CODE.get(bps_code, bps)  # 0 → STREAMINFO bps
         bits.read(8)  # header CRC-8 (not verified; see module docstring)
 
         if ch_code <= 7:

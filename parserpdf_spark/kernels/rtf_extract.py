@@ -189,6 +189,14 @@ def rtf_to_html(data: bytes) -> str:
                 para.append(chr(c) if c < 0x80
                             else bytes([c]).decode("cp1252", "replace"))
         i += 1
+    # a document truncated mid-row (or written without a trailing \row)
+    # must not lose the collected cells
+    if in_table_row and "".join(para).strip():
+        cells.append(escape("".join(para).strip()))
+        para.clear()
+    if cells:
+        rows.append(cells)
+        cells = []
     flush_para()
     flush_table()
     out_parts.append("</article></body>")

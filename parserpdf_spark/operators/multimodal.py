@@ -207,6 +207,8 @@ def decode_bmp(payload: bytes):
         ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX → RGB
     if compression == 1:  # RLE8
         idx = _bmp_rle8(data[pixel_off:], w, h)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("BMP palette index out of range")
         rows = palette[idx]
         if not top_down:
             rows = rows[::-1]
@@ -558,7 +560,9 @@ def decode_audio_features_real(media: DataFrame) -> DataFrame:
                     int(float(np.sqrt((x * x).mean())) * 1000) if len(x)
                     else 0
                 )
-                out["peak"].append(int(np.abs(samples).max()) if len(x) else 0)
+                out["peak"].append(  # int32: np.abs overflows at int16 -32768
+                    int(np.abs(samples.astype(np.int32)).max())
+                    if len(x) else 0)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(

@@ -364,3 +364,26 @@ def test_wav_variants_stereo_8bit_float():
 
     with pytest.raises(ValueError, match="unsupported WAV"):
         decode_wav(wav(1, 4, 16, bytes(64)))  # 4-channel outside subset
+
+
+def test_bmp_rle_palette_bounds_and_audio_peak_overflow():
+    """Review findings: an RLE8 run writing an out-of-range palette
+    index must raise ValueError (not IndexError), and the audio peak
+    must survive a full-scale-negative int16 sample."""
+    import struct
+
+    import numpy as np
+
+    from parserpdf_spark.operators.multimodal import decode_bmp
+
+    paltab = bytes(16 * 4)
+    rle = bytes([3, 200]) + b"\x00\x00" + b"\x00\x01"
+    off = 54 + len(paltab)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 1, 1, 8, 1,
+                       len(rle), 0, 0, 16, 0)
+    with pytest.raises(ValueError, match="palette"):
+        decode_bmp(hdr + info + paltab + rle)
+
+    s = np.array([-32768, 5], dtype=np.int16)
+    assert int(np.abs(s.astype(np.int32)).max()) == 32768

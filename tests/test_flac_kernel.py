@@ -149,3 +149,16 @@ def test_audio_dispatch_flac():
     assert r == 12000 and np.array_equal(s, clip)
     with pytest.raises(ValueError, match="magic"):
         decode_audio_auto(b"\x00\x01")
+
+
+def test_reserved_and_32bit_frame_bps_codes_raise():
+    """bps code 3 is reserved and 7 means 32-bit (outside the subset) —
+    both must raise instead of silently reading at the STREAMINFO width
+    (review finding: misaligned bitstream → garbage samples)."""
+    good = encode_flac(np.arange(16, dtype=np.int16), 8000)
+    at = good.find(b"\xff\xf8", 4)
+    for code in (3, 7):
+        patched = bytearray(good)
+        patched[at + 3] = (patched[at + 3] & 0b10001111) | (code << 4)
+        with pytest.raises(ValueError):
+            decode_flac(bytes(patched))

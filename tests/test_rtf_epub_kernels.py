@@ -112,3 +112,51 @@ def test_rtf_epub_kernels_never_crash_uncontrolled(junk):
         for ext in (".rtf", ".epub"):
             assert route_file(f"/x/f{ext}", data)["ingest_status"] in (
                 "ok", "error")
+
+
+def test_drm_epub_entry_is_status_not_crash():
+    """zipfile raises RuntimeError for password-flagged entries and
+    NotImplementedError for AES compression — both must stay inside the
+    keep-with-status contract (review finding)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="c.opf"/></rootfiles>'
+            "</container>")
+        zf.writestr("c.opf",
+                    '<package xmlns="http://www.idpf.org/2007/opf">'
+                    '<manifest><item id="a" href="x.xhtml"/></manifest>'
+                    '<spine><itemref idref="a"/></spine></package>')
+        zf.writestr("x.xhtml", "<body><p>t</p></body>")
+    data = bytearray(buf.getvalue())
+    at = data.find(b"x.xhtml")
+    lh = data.rfind(b"PK\x03\x04", 0, at)
+    data[lh + 6] |= 0x01  # encrypted flag on the local header
+    row = route_file("/x/drm.epub", bytes(data))
+    assert row["ingest_status"] in ("ok", "error")  # never an escape
+
+
+def test_epub_percent_encoded_spine_hrefs_resolve():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="c.opf"/></rootfiles>'
+            "</container>")
+        zf.writestr("c.opf",
+                    '<package xmlns="http://www.idpf.org/2007/opf">'
+                    '<manifest>'
+                    '<item id="a" href="ch%20one.xhtml#frag"/></manifest>'
+                    '<spine><itemref idref="a"/></spine></package>')
+        zf.writestr("ch one.xhtml", "<body><p>spaced</p></body>")
+    assert "spaced" in epub_to_html(buf.getvalue())
+
+
+def test_rtf_truncated_mid_row_keeps_cells():
+    html = rtf_to_html(b"{\\rtf1 \\trowd A\\cell B\\cell }")
+    assert "<td>A</td><td>B</td>" in html
