@@ -35,6 +35,9 @@ Routing (keep-with-status, mirroring the reference's extension gate at
 - ``.epub``           → OCF/OPF spine walk (kernels/epub_extract.py)
   concatenates the XHTML content documents in reading order into one
   ``kind="html"`` span
+- ``.odt``            → OpenDocument shim (kernels/odt_extract.py:
+  text:h/text:p/tables/lists from content.xml) → one ``kind="html"``
+  span; ``Pictures/*`` payloads ride the media bridge
 - ``.rtf``            → from-scratch control-word parser
   (kernels/rtf_extract.py: headings via outlinelevel, tables via
   cell/row marks, cp1252 + unicode escapes) → one ``kind="html"`` span
@@ -153,6 +156,14 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
         except ValueError as exc:
             row["ingest_status"] = "error"
             row["ingest_error"] = str(exc)
+    elif suffix == ".odt":
+        from parserpdf_spark.kernels.odt_extract import odt_to_html
+
+        try:
+            row["spans"] = _html_span(odt_to_html(bytes(content)))
+        except ValueError as exc:
+            row["ingest_status"] = "error"
+            row["ingest_error"] = str(exc)
     elif suffix == ".rtf":
         from parserpdf_spark.kernels.rtf_extract import rtf_to_html
 
@@ -245,6 +256,16 @@ def file_media_rows(path: str, content: bytes) -> list[dict[str, Any]]:
              "payload": m["payload"]}
             for m in media
         ]
+    elif suffix == ".odt":
+        from parserpdf_spark.kernels.odt_extract import odt_media_rows
+
+        try:
+            rows = [
+                {"doc_id": doc_id, "media_ref": ref, "payload": payload}
+                for ref, payload in odt_media_rows(bytes(content))
+            ]
+        except ValueError:
+            return []
     elif suffix == ".docx":
         import io
         import zipfile

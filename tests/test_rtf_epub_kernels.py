@@ -160,3 +160,51 @@ def test_epub_percent_encoded_spine_hrefs_resolve():
 def test_rtf_truncated_mid_row_keeps_cells():
     html = rtf_to_html(b"{\\rtf1 \\trowd A\\cell B\\cell }")
     assert "<td>A</td><td>B</td>" in html
+
+
+def test_odt_structure_and_media():
+    """ODT shim: heading levels, space runs/tabs, tables, lists, and
+    the Pictures/* media bridge."""
+    import io as _io
+
+    from parserpdf_spark.kernels.odt_extract import (
+        odt_media_rows,
+        odt_to_html,
+    )
+    from parserpdf_spark.sources.files import file_media_rows
+
+    T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    TAB = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    content = (f'<?xml version="1.0"?><office:document-content '
+               f'xmlns:office="{O}" xmlns:text="{T}" xmlns:table="{TAB}">'
+               "<office:body><office:text>"
+               '<text:h text:outline-level="2">Title</text:h>'
+               '<text:p>First <text:s text:c="2"/>para'
+               "<text:tab/>gap.</text:p>"
+               "<table:table><table:table-row>"
+               "<table:table-cell><text:p>A</text:p></table:table-cell>"
+               "<table:table-cell><text:p>B</text:p></table:table-cell>"
+               "</table:table-row></table:table>"
+               "<text:list><text:list-item><text:p>one</text:p>"
+               "</text:list-item></text:list>"
+               "</office:text></office:body></office:document-content>")
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content)
+        zf.writestr("Pictures/img1.png", b"\x89PNG fake")
+    html = odt_to_html(buf.getvalue())
+    assert "<h2>Title</h2>" in html
+    assert "<p>First   para gap.</p>" in html
+    assert "<table><tr><td>A</td><td>B</td></tr></table>" in html
+    assert "<ul><li>one</li></ul>" in html
+    assert odt_media_rows(buf.getvalue()) == [
+        ("Pictures/img1.png", b"\x89PNG fake")]
+    m = file_media_rows("/x/a.odt", buf.getvalue())
+    assert m[0]["media_ref"] == "Pictures/img1.png"
+    row = route_file("/x/a.odt", buf.getvalue())
+    assert row["ingest_status"] == "ok"
+    assert route_file("/x/bad.odt", b"junk")["ingest_status"] == "error"
+    with pytest.raises(ValueError):
+        odt_to_html(b"not a zip")

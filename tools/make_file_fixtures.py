@@ -860,6 +860,59 @@ def build_epub(nid: int, text: str) -> bytes:
     return buf.getvalue()
 
 
+def build_odt(nid: int, text: str) -> bytes:
+    """An OpenDocument text file with the family decomposition: heading
+    + paragraphs, 2x3 table on even ids, a 3-item list on nid%4==3."""
+    import io
+
+    words = _words(text)
+    T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    TAB = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+    def esc(t):
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    parts = [
+        f'<?xml version="1.0"?><office:document-content '
+        f'xmlns:office="{O}" xmlns:text="{T}" xmlns:table="{TAB}">'
+        "<office:body><office:text>",
+        '<text:h text:outline-level="1">'
+        + esc(" ".join(words[:HEAD_WORDS])) + "</text:h>",
+    ]
+    if nid % 2 == 0 and len(words) >= 6:
+        parts.append("<table:table>")
+        for row in (words[:3], words[3:6]):
+            parts.append("<table:table-row>")
+            for cell in row:
+                parts.append("<table:table-cell><text:p>" + esc(cell)
+                             + "</text:p></table:table-cell>")
+            parts.append("</table:table-row>")
+        parts.append("</table:table>")
+    if nid % 4 == 3 and len(words) >= 6:
+        parts.append("<text:list>")
+        for wd in words[3:6]:
+            parts.append("<text:list-item><text:p>" + esc(wd)
+                         + "</text:p></text:list-item>")
+        parts.append("</text:list>")
+    for chunk in _chunks(words[HEAD_WORDS:], PARA_WORDS):
+        parts.append("<text:p>" + esc(" ".join(chunk)) + "</text:p>")
+    parts.append("</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+
+    class _DetZip(zipfile.ZipFile):
+        def writestr(self, name, data, *a, **kw):  # noqa: D102
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            super().writestr(info, data, *a, **kw)
+
+    with _DetZip(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", "".join(parts))
+    return buf.getvalue()
+
+
 def build_scanned_pdf() -> bytes:
     """A scanned-style PDF: one page whose content is a single
     full-page image XObject Do — a real text-layer-absent document, so
@@ -974,6 +1027,10 @@ def build_corpus() -> None:
     epub_id = docx_ids[20]
     with open(os.path.join(FIXTURES, f"doc_{epub_id}.epub"), "wb") as fh:
         fh.write(build_epub(epub_id, by_id[epub_id]))
+
+    odt_id = docx_ids[21]
+    with open(os.path.join(FIXTURES, f"doc_{odt_id}.odt"), "wb") as fh:
+        fh.write(build_odt(odt_id, by_id[odt_id]))
 
     # markdown passthrough fixtures: one plain, one exercising every
     # block kind the splitter handles
