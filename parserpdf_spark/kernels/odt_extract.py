@@ -108,7 +108,13 @@ def odt_to_html(data: bytes) -> str:
     if body is None:
         raise ValueError("content.xml has no office:text body")
     out: list[str] = ["<body><article>"]
-    _walk(body, out)
+    try:
+        _walk(body, out)
+    except RecursionError as exc:
+        # _text_of/_walk recurse per nesting level; a crafted
+        # deeply-nested document must stay inside the ValueError-only
+        # contract, not kill the task
+        raise ValueError("ODT content nested too deeply") from exc
     out.append("</article></body>")
     return "".join(out)
 

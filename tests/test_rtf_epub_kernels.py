@@ -208,3 +208,30 @@ def test_odt_structure_and_media():
     assert route_file("/x/bad.odt", b"junk")["ingest_status"] == "error"
     with pytest.raises(ValueError):
         odt_to_html(b"not a zip")
+
+
+def test_odt_deep_nesting_stays_valueerror():
+    """A crafted deeply-nested content.xml must not escape as
+    RecursionError (keep-with-status)."""
+    import io as _io
+
+    from parserpdf_spark.kernels.odt_extract import odt_to_html
+
+    T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    depth = 50000
+    content = (f'<?xml version="1.0"?><office:document-content '
+               f'xmlns:office="{O}" xmlns:text="{T}">'
+               "<office:body><office:text><text:p>"
+               + "<text:span>" * depth + "x" + "</text:span>" * depth
+               + "</text:p></office:text></office:body>"
+               "</office:document-content>")
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml", content)
+    try:
+        odt_to_html(buf.getvalue())
+    except ValueError:
+        pass  # either decodes or fails INSIDE the contract
+    assert route_file("/x/deep.odt", buf.getvalue())["ingest_status"] in (
+        "ok", "error")
