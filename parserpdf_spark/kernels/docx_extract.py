@@ -28,6 +28,8 @@ import zlib
 from html import escape
 from xml.etree import ElementTree as ET
 
+from parserpdf_spark.kernels.ziputil import bounded_read
+
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
@@ -37,7 +39,7 @@ _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 def _rels(zf: zipfile.ZipFile) -> dict[str, str]:
     """Relationship id → target (image paths live here)."""
     try:
-        data = zf.read("word/_rels/document.xml.rels")
+        data = bounded_read(zf, "word/_rels/document.xml.rels")
     except KeyError:
         return {}
     except (zipfile.BadZipFile, OSError, zlib.error) as exc:
@@ -107,7 +109,7 @@ def docx_to_html(data: bytes) -> str:
     """
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-        doc = zf.read("word/document.xml")
+        doc = bounded_read(zf, "word/document.xml")
     except (zipfile.BadZipFile, KeyError, OSError, zlib.error,
             RuntimeError, NotImplementedError) as exc:
         # RuntimeError: password-protected entry; NotImplementedError:

@@ -26,6 +26,8 @@ import zipfile
 import zlib
 from urllib.parse import unquote
 
+from parserpdf_spark.kernels.ziputil import bounded_read
+
 _NS_CONTAINER = "{urn:oasis:names:tc:opendocument:xmlns:container}"
 _NS_OPF = "{http://www.idpf.org/2007/opf}"
 
@@ -33,13 +35,13 @@ _NS_OPF = "{http://www.idpf.org/2007/opf}"
 def _spine_hrefs(zf: zipfile.ZipFile) -> list[str]:
     from xml.etree import ElementTree as ET
 
-    container = ET.fromstring(zf.read("META-INF/container.xml"))
+    container = ET.fromstring(bounded_read(zf, "META-INF/container.xml"))
     rootfile = container.find(
         f"{_NS_CONTAINER}rootfiles/{_NS_CONTAINER}rootfile")
     if rootfile is None or not rootfile.get("full-path"):
         raise ValueError("container.xml without a rootfile")
     opf_path = rootfile.get("full-path")
-    opf = ET.fromstring(zf.read(opf_path))
+    opf = ET.fromstring(bounded_read(zf, opf_path))
     base = posixpath.dirname(opf_path)
     manifest = {
         item.get("id"): item.get("href")
@@ -85,13 +87,14 @@ def epub_to_html(data: bytes) -> str:
     found = 0
     for href in hrefs:
         try:
-            raw = zf.read(href)
+            raw = bounded_read(zf, href)
         except (KeyError, zipfile.BadZipFile, zlib.error,
-                RuntimeError, NotImplementedError):
+                RuntimeError, NotImplementedError, ValueError):
             # missing, corrupt, DRM-encrypted (zipfile raises
-            # RuntimeError), or AES-compressed (NotImplementedError)
-            # spine items must not lose the rest of the book — and must
-            # NEVER escape as a non-ValueError task killer
+            # RuntimeError), AES-compressed (NotImplementedError), or
+            # bomb-sized (bounded_read ValueError) spine items must not
+            # lose the rest of the book — and must NEVER escape as a
+            # non-ValueError task killer
             continue
         try:
             text = raw.decode("utf-8")

@@ -23,6 +23,13 @@ import zipfile
 import zlib
 from html import escape
 
+from parserpdf_spark.kernels.ziputil import bounded_read
+
+# text:c declares a run of spaces; a crafted count ("2000000000")
+# must not allocate a multi-GB string (ADVICE r4) — no real document
+# carries kilobyte space runs, so cap like the PNG/TIFF area caps.
+_MAX_SPACE_RUN = 4096
+
 _T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 _TAB = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 _O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
@@ -37,7 +44,11 @@ def _text_of(node) -> str:
     for child in node:
         tag = child.tag
         if tag == f"{_T}s":  # run of spaces
-            parts.append(" " * int(child.get(f"{_T}c") or 1))
+            try:
+                count = int(child.get(f"{_T}c") or 1)
+            except ValueError as exc:
+                raise ValueError("malformed text:s count") from exc
+            parts.append(" " * max(0, min(count, _MAX_SPACE_RUN)))
         elif tag in (f"{_T}tab", f"{_T}line-break"):
             parts.append(" ")
         elif tag == f"{_D}image":
@@ -96,7 +107,7 @@ def odt_to_html(data: bytes) -> str:
 
     try:
         zf = zipfile.ZipFile(io.BytesIO(bytes(data)))
-        content = zf.read("content.xml")
+        content = bounded_read(zf, "content.xml")
     except (zipfile.BadZipFile, KeyError, OSError, zlib.error,
             RuntimeError, NotImplementedError) as exc:
         raise ValueError(f"not an ODT (ODF zip): {exc}") from exc
@@ -130,8 +141,10 @@ def odt_media_rows(data: bytes) -> list[tuple[str, bytes]]:
     for info in zf.infolist():
         if info.filename.startswith("Pictures/"):
             try:
-                rows.append((info.filename, zf.read(info)))
+                rows.append((info.filename, bounded_read(zf, info)))
             except (zipfile.BadZipFile, zlib.error, RuntimeError,
-                    NotImplementedError):
+                    NotImplementedError, ValueError):
+                # corrupt OR bomb-sized picture: drop the member, keep
+                # the document (keep-with-status)
                 continue
     return rows

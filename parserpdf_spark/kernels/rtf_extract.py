@@ -76,17 +76,24 @@ def rtf_to_html(data: bytes) -> str:
     # (depth at which the skip started) or None
     skip_until_depth: int | None = None
     uc_skip = 1
+    # \ucN is scoped to its RTF group (spec: "the reader ... must keep
+    # a stack of counts"): save on '{', restore on '}' so a \uc inside
+    # a nested group cannot leak into the enclosing text (ADVICE r4)
+    uc_stack: list[int] = []
     pending_skip = 0  # chars to swallow after \uN
     while i < n:
         c = src[i]
         if c == 0x7B:  # {
             depth += 1
+            uc_stack.append(uc_skip)
             i += 1
             continue
         if c == 0x7D:  # }
             depth -= 1
             if depth < 0:
                 raise ValueError("unbalanced RTF groups")
+            if uc_stack:
+                uc_skip = uc_stack.pop()
             if skip_until_depth is not None and depth < skip_until_depth:
                 skip_until_depth = None
             i += 1

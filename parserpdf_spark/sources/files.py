@@ -271,14 +271,22 @@ def file_media_rows(path: str, content: bytes) -> list[dict[str, Any]]:
         import zipfile
         import zlib
 
+        from parserpdf_spark.kernels.ziputil import bounded_read
+
         try:
             zf = zipfile.ZipFile(io.BytesIO(bytes(content)))
             for info in zf.infolist():
                 if info.filename.startswith("word/media/"):
+                    try:
+                        payload = bounded_read(zf, info)
+                    except ValueError:
+                        # bomb-sized media part: drop the member,
+                        # keep the document's other media
+                        continue
                     rows.append({
                         "doc_id": doc_id,
                         "media_ref": info.filename[len("word/"):],
-                        "payload": zf.read(info),
+                        "payload": payload,
                     })
         except (zipfile.BadZipFile, KeyError, OSError, zlib.error):
             return []

@@ -235,3 +235,112 @@ def test_odt_deep_nesting_stays_valueerror():
         pass  # either decodes or fails INSIDE the contract
     assert route_file("/x/deep.odt", buf.getvalue())["ingest_status"] in (
         "ok", "error")
+
+
+def test_odt_space_run_count_is_capped():
+    """A crafted text:c="2000000000" must not allocate a multi-GB
+    string (ADVICE r4): the run caps at 4096 and the document still
+    extracts ok; a malformed count stays inside the ValueError
+    contract."""
+    import io as _io
+
+    from parserpdf_spark.kernels.odt_extract import odt_to_html
+
+    T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+    def _odt(count):
+        content = (f'<?xml version="1.0"?><office:document-content '
+                   f'xmlns:office="{O}" xmlns:text="{T}">'
+                   "<office:body><office:text>"
+                   f'<text:p>a<text:s text:c="{count}"/>b</text:p>'
+                   "</office:text></office:body>"
+                   "</office:document-content>")
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("content.xml", content)
+        return buf.getvalue()
+
+    html = odt_to_html(_odt(2_000_000_000))
+    assert len(html) < 10_000  # capped, not 2 GB
+    assert "a" + " " * 4096 + "b" in html
+    assert odt_to_html(_odt(-5)) == "<body><article><p>ab</p></article></body>"
+    with pytest.raises(ValueError, match="text:s"):
+        odt_to_html(_odt("notanumber"))
+    assert route_file(
+        "/x/sbomb.odt", _odt(2_000_000_000))["ingest_status"] == "ok"
+
+
+def test_zip_bomb_members_stay_bounded():
+    """A small member that inflates past the 64 MiB cap must raise
+    ValueError (docx/odt content) or be skipped (epub spine members,
+    media parts) instead of OOMing the task (ADVICE r4)."""
+    import io as _io
+
+    from parserpdf_spark.kernels.odt_extract import odt_to_html
+    from parserpdf_spark.kernels.ziputil import (
+        MAX_MEMBER_BYTES,
+        bounded_read,
+    )
+
+    bomb = b"\x00" * (MAX_MEMBER_BYTES + 1024)  # ~64 KiB compressed
+
+    # unit: declared-size rejection, plus a normal member passes
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("bomb.bin", bomb)
+        zf.writestr("ok.bin", b"fine")
+    zf = zipfile.ZipFile(_io.BytesIO(buf.getvalue()))
+    assert bounded_read(zf, "ok.bin") == b"fine"
+    with pytest.raises(ValueError, match="cap"):
+        bounded_read(zf, "bomb.bin")
+    with pytest.raises(ValueError, match="cap"):
+        bounded_read(zf, "ok.bin", cap=2)
+
+    # odt: bomb content.xml → ValueError → route_file status="error"
+    obuf = _io.BytesIO()
+    with zipfile.ZipFile(obuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("content.xml", bomb)
+    with pytest.raises(ValueError, match="cap"):
+        odt_to_html(obuf.getvalue())
+    assert route_file(
+        "/x/bomb.odt", obuf.getvalue())["ingest_status"] == "error"
+
+    # epub: one bomb spine item is skipped, the rest of the book reads
+    ebuf = _io.BytesIO()
+    with zipfile.ZipFile(ebuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="c.opf"/></rootfiles>'
+            "</container>")
+        zf.writestr("c.opf",
+                    '<package xmlns="http://www.idpf.org/2007/opf">'
+                    '<manifest><item id="a" href="bomb.xhtml"/>'
+                    '<item id="b" href="good.xhtml"/></manifest>'
+                    '<spine><itemref idref="a"/><itemref idref="b"/>'
+                    "</spine></package>")
+        zf.writestr("bomb.xhtml", bomb)
+        zf.writestr("good.xhtml", "<body><p>survives</p></body>")
+    html = epub_to_html(ebuf.getvalue())
+    assert "survives" in html and len(html) < 10_000
+
+    # docx media bridge: bomb media part dropped, sibling kept
+    from parserpdf_spark.sources.files import file_media_rows
+
+    dbuf = _io.BytesIO()
+    with zipfile.ZipFile(dbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/document.xml", "<d/>")
+        zf.writestr("word/media/bomb.png", bomb)
+        zf.writestr("word/media/ok.png", b"\x89PNG ok")
+    rows = file_media_rows("/x/m.docx", dbuf.getvalue())
+    assert [r["media_ref"] for r in rows] == ["media/ok.png"]
+
+
+def test_rtf_uc_skip_is_group_scoped():
+    """\\uc inside a nested group must not leak to the enclosing text
+    (ADVICE r4): the spec scopes the count per group."""
+    html = rtf_to_html(
+        b"{\\rtf1 {\\uc2\\u20013 ??} \\u20013 ?X\\par }")
+    assert "<p>中 中X</p>" in html
