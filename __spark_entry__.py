@@ -39,6 +39,9 @@ GOLDEN_WARC_INGEST = os.path.join(_REPO, "goldens", "warc_ingest_status.parquet"
 GOLDEN_MEDIA_REAL = os.path.join(_REPO, "goldens", "media_features_real.parquet")
 GOLDEN_FRAMES_REAL = os.path.join(_REPO, "goldens", "frame_counts_real.parquet")
 FIXTURE_WARC = os.path.join(_REPO, "fixtures", "warc")
+GOLDEN_OCR = os.path.join(_REPO, "goldens", "extract_ocr.parquet")
+GOLDEN_OCR_INGEST = os.path.join(_REPO, "goldens", "ocr_ingest_status.parquet")
+FIXTURE_OCR = os.path.join(_REPO, "fixtures", "ocr_corpus")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +206,42 @@ def q_file_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files_to_docs(files).select(
         "doc_id",
         # binaryFile reports URIs (file:/…); the golden stores plain paths
+        F.regexp_replace("src_path", "^file:", "").alias("src_path"),
+        "ingest_status",
+        F.size("spans").alias("n_spans"),
+    )
+
+
+def q_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic OCR tier end-to-end (reference ``force_ocr``,
+    ``converters/extraction_converter.py:111-114`` → Marker OCR at
+    ``converters/pdf_to_md.py:159``): binaryFile scan of committed
+    scanned (text-layer-absent) PDFs → OCR routing (page-image decode
+    through the repo's JPEG codec, glyph-template recognition,
+    paragraph re-grouping, kernels/ocr.py) → the ordinary layout
+    kernel.  Ground truth is exact: the fixtures' page images are
+    rendered from the OCR atlas itself, so heading/column/page
+    structure and every character are pinned by the committed golden."""
+    from parserpdf_spark.operators.extract import extract_docs
+    from parserpdf_spark.sources.files import files_to_docs, ingested_docs
+    from parserpdf_spark.sources.scans import scan_files
+
+    files = scan_files(spark, FIXTURE_OCR, "*", with_content=True)
+    docs = ingested_docs(files_to_docs(files, ocr=True))
+    return extract_docs(docs)[0]
+
+
+def q_ocr_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-with-status over the scanned corpus WITH the OCR tier on:
+    recognizable scans flip needs_ocr → ok, photographs stay needs_ocr
+    (garbage must not transcribe), truncated page images surface as
+    error, non-PDF files delegate to the plain route."""
+    from parserpdf_spark.sources.files import files_to_docs
+    from parserpdf_spark.sources.scans import scan_files
+
+    files = scan_files(spark, FIXTURE_OCR, "*", with_content=True)
+    return files_to_docs(files, ocr=True).select(
+        "doc_id",
         F.regexp_replace("src_path", "^file:", "").alias("src_path"),
         "ingest_status",
         F.size("spans").alias("n_spans"),
@@ -1065,6 +1104,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   · dedup_clusters (label propagation) → dedup_clusters_star is
     #     gated against the IDENTICAL recursive-CTE oracle over the same
     #     pair list, so CC stays oracle-verified via the scale path.
+    # - r5 displacements, making room for the OCR tier (VERDICT r4
+    #   item 1): media_features / frame_counts (the fake-payload STUB
+    #   gates) → their real-decode supersets media_features_real /
+    #   frame_counts_real stay gated and exercise the same plumbing
+    #   (attach → mapInPandas decode → features/frame expansion) over
+    #   real codec output instead of the deterministic fake.
     # All displaced queries keep their oracle_sql entries and are still
     # locally verified by tests/test_oracle_parity.py.
     return {
@@ -1080,8 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_ingest_gate": q_file_ingest_gate,
         "extract_from_warc": q_extract_from_warc,
         "warc_ingest_gate": q_warc_ingest_gate,
-        "media_features": q_media_features,
-        "frame_counts": q_frame_counts,
+        "ocr_extract": q_ocr_extract,
+        "ocr_ingest_gate": q_ocr_ingest_gate,
         "url_normalize": q_url_normalize,
         "para_dedup": q_para_dedup,
         "curation_funnel": q_curation_funnel,
@@ -1119,13 +1164,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprint_winnow": q_fingerprint_winnow,
         # past the 50-query cap BY CHOICE (see ordering note above):
-        # brute-force baselines + r4 displacements, each exactly covered
-        # by a gated twin and locally oracle-verified
+        # brute-force baselines + r4/r5 displacements, each exactly
+        # covered by a gated twin and locally oracle-verified
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_dups": q_embedding_dups,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "dedup_clusters": q_dedup_clusters,
+        "media_features": q_media_features,
+        "frame_counts": q_frame_counts,
     }
 
 
@@ -1365,6 +1412,14 @@ def oracle_sql() -> dict[str, str]:
         "file_ingest_gate": f"""
             SELECT doc_id, src_path, ingest_status, n_spans
             FROM read_parquet('{GOLDEN_INGEST}')
+        """,
+        "ocr_extract": f"""
+            SELECT doc_id, kind, text, media_ref, "offset" AS offset
+            FROM read_parquet('{GOLDEN_OCR}')
+        """,
+        "ocr_ingest_gate": f"""
+            SELECT doc_id, src_path, ingest_status, n_spans
+            FROM read_parquet('{GOLDEN_OCR_INGEST}')
         """,
         "extract_from_warc": f"""
             SELECT doc_id, kind, text, media_ref, "offset" AS offset

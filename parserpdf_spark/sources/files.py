@@ -187,18 +187,113 @@ def route_file(path: str, content: bytes) -> dict[str, Any]:
     return row
 
 
-def files_to_docs(files: DataFrame) -> DataFrame:
+def ocr_route_file(path: str, content: bytes) -> dict[str, Any]:
+    """:func:`route_file` + the deterministic OCR tier for scanned PDFs.
+
+    The reference OCRs text-layer-absent PDFs through Marker when
+    ``force_ocr`` is set (``converters/extraction_converter.py:111-114``
+    → ``converters/pdf_to_md.py:159``); this is the from-scratch
+    equivalent.  Files the plain router triages ``needs_ocr`` re-enter
+    through ``pdf_to_blocks_and_media(require_text=False)``: each page
+    image decodes through the repo's own JPEG codec, the glyph-template
+    recognizer (kernels/ocr.py) rebuilds paragraph blocks with pixel
+    geometry, and the pixel coordinates map through the image's
+    placement bbox into page points — so the ordinary layout kernel
+    (reading order, columns, heading quantiles) runs over OCR output
+    exactly as over born-digital PDFs.
+
+    Outcomes for a ``needs_ocr`` input (keep-with-status):
+
+    - recognizable text      → ``ingest_status="ok"`` with ``pdf_block``
+      spans (``font_size`` = glyph pixel height, so larger-type lines
+      classify as headings); unrecognizable page images (photographs
+      inside an otherwise-textual scan) stay as figure blocks.
+    - nothing recognizable   → stays ``"needs_ocr"`` — a photograph
+      must not transcribe as garbage; route to a heavier OCR fleet.
+    - undecodable page image → ``"error"`` with the codec's reason.
+
+    Everything else returns the plain route unchanged.
+    """
+    row = route_file(path, content)
+    if row["ingest_status"] != "needs_ocr":
+        return row
+    import json
+
+    from parserpdf_spark.kernels.jpeg import decode_jpeg_baseline
+    from parserpdf_spark.kernels.ocr import GLYPH_H, ocr_page_blocks
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks_and_media
+
+    try:
+        img_blocks, media = pdf_to_blocks_and_media(
+            bytes(content), require_text=False
+        )
+        payloads = {m["media_ref"]: m["payload"] for m in media}
+        out_blocks: list[dict] = []
+        recognized = 0
+        for blk in img_blocks:
+            ref = blk.get("media_ref")
+            payload = payloads.get(ref) if ref else None
+            if payload is None or not bytes(payload)[:2] == b"\xff\xd8":
+                out_blocks.append(blk)  # non-JPEG figure: keep as-is
+                continue
+            w, h, pixels = decode_jpeg_baseline(bytes(payload))
+            paras = ocr_page_blocks(pixels)
+            if not paras:
+                out_blocks.append(blk)  # photograph/noise: stays a figure
+                continue
+            recognized += 1
+            # image pixel (row r, col c) → page point via the placement
+            # bbox [X0, Ytop, X1, Ybot] (top-down y, like all blocks)
+            x0b, ytop, x1b, ybot = blk["bbox"]
+            sx = (x1b - x0b) / w
+            sy = (ybot - ytop) / h
+            for p in paras:
+                out_blocks.append({
+                    "page": blk["page"],
+                    "bbox": [round(x0b + p["x0"] * sx, 2),
+                             round(ytop + p["top"] * sy, 2),
+                             round(x0b + p["x1"] * sx, 2),
+                             round(ytop + p["bot"] * sy, 2)],
+                    "font_size": round(GLYPH_H * p["scale"] * sy, 2),
+                    "text": p["text"],
+                    "block_type_hint": None,
+                })
+        if recognized == 0:
+            row["ingest_error"] = (
+                "ocr found no recognizable text (photographic or "
+                "non-glyph content); route to a heavier OCR fleet"
+            )
+            return row
+        row["ingest_status"] = "ok"
+        row["ingest_error"] = None
+        row["spans"] = [
+            {"kind": "pdf_block", "text": json.dumps(b),
+             "media_ref": b.get("media_ref"), "offset": i}
+            for i, b in enumerate(out_blocks)
+        ]
+    except ValueError as exc:
+        row["ingest_status"] = "error"
+        row["ingest_error"] = f"ocr tier: {exc}"
+    return row
+
+
+def files_to_docs(files: DataFrame, ocr: bool = False) -> DataFrame:
     """binaryFile scan (path, …, content) → docs rows with ingest status.
 
     Every scanned file yields exactly one row — accepted files carry
     spans, everything else carries a status + reason (keep-with-status).
+    ``ocr=True`` additionally runs the deterministic OCR tier over
+    ``needs_ocr`` PDFs (:func:`ocr_route_file`), the analog of the
+    reference's ``force_ocr`` knob.
     """
     import pandas as pd
+
+    router = ocr_route_file if ocr else route_file
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                route_file(p, c) for p, c in zip(pdf["path"], pdf["content"])
+                router(p, c) for p, c in zip(pdf["path"], pdf["content"])
             ]
             yield pd.DataFrame(
                 rows,

@@ -1,0 +1,283 @@
+"""Deterministic OCR kernel + routing tests (kernels/ocr.py,
+sources/files.ocr_route_file).
+
+The reference OCRs scanned PDFs through Marker when ``force_ocr`` is set
+(``converters/extraction_converter.py:111-114`` →
+``converters/pdf_to_md.py:159``); this engine's from-scratch equivalent
+is pinned here: render → (JPEG) → recognize round trips exactly, the
+reject gate keeps photographs silent, and the routing tier flips
+``needs_ocr`` → ``ok`` only when text is genuinely recognizable.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from parserpdf_spark.kernels.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from parserpdf_spark.kernels.ocr import (
+    _MAX_REJECT_FRAC,
+    _REJECT_MSE,
+    _TEMPLATES,
+    CHARSET,
+    GLYPH_H,
+    ocr_image,
+    ocr_page_blocks,
+    ocr_page_segments,
+    render_normalize,
+    render_text,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OCR_CORPUS = os.path.join(REPO, "fixtures", "ocr_corpus")
+
+
+def _expected(lines):
+    out = [render_normalize(ln).strip() for ln in lines]
+    return "\n".join(ln for ln in out if ln)
+
+
+def _composite(frags, pad=12):
+    h = max(t + f.shape[0] for f, t, _ in frags) + pad
+    w = max(left + f.shape[1] for f, _, left in frags) + pad
+    canvas = np.full((h, w), 255, np.uint8)
+    for f, t, left in frags:
+        region = canvas[t:t + f.shape[0], left:left + f.shape[1]]
+        np.minimum(region, f, out=region)
+    return canvas
+
+
+# ---------------------------------------------------------------------------
+# crisp round trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("scale", [1, 2, 3])
+def test_round_trip_crisp(scale):
+    lines = ["The quick brown fox", "jumps over 13 lazy dogs!"]
+    assert ocr_image(render_text(lines, scale=scale)) == _expected(lines)
+
+
+def test_round_trip_full_charset():
+    # every atlas glyph, spread over lines, survives a crisp round trip
+    lines = [CHARSET[i:i + 12] for i in range(0, len(CHARSET), 12)]
+    assert ocr_image(render_text(lines, scale=2)) == _expected(lines)
+
+
+def test_round_trip_blank_lines_and_runs_of_spaces():
+    lines = ["alpha  beta", "", "gamma", "", "", "delta epsilon"]
+    assert ocr_image(render_text(lines, scale=2)) == _expected(lines)
+
+
+def test_normalize_maps_outside_chars_to_spaces():
+    lines = ["naïve © café — ok"]
+    page = render_text(lines, scale=2)
+    assert ocr_image(page) == _expected(lines)
+    assert "©" not in _expected(lines)
+
+
+# ---------------------------------------------------------------------------
+# JPEG round trips (the production path: scans arrive as DCTDecode)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("quality,subsample", [(95, False), (85, False),
+                                               (85, True), (75, False)])
+def test_round_trip_jpeg(quality, subsample):
+    lines = ["Invoice no. 4711 / 2026", "total: $1,234.56 (+7.5%)"]
+    page = render_text(lines, scale=2)
+    rgb = np.stack([page, page, page], axis=-1)
+    _, _, pix = decode_jpeg_baseline(
+        encode_jpeg_baseline(rgb, quality=quality, subsample=subsample))
+    assert ocr_image(pix) == _expected(lines)
+
+
+def test_corpus_round_trip_through_jpeg():
+    """Property-style sweep: deterministic pseudo-random pages of atlas
+    words at mixed scales all round-trip through q85 JPEG exactly."""
+    rng = np.random.RandomState(1234)
+    vocab = ["ALPHA", "BRAVO", "CHARLIE", "DELTA", "ECHO", "FOX", "GOLF",
+             "HOTEL", "INDIA", "JULIET", "KILO", "LIMA", "99", "2026",
+             "X-RAY", "O'NEIL", "A+B=C", "(OK)", "100%"]
+    for case in range(8):
+        n_lines = int(rng.randint(1, 6))
+        lines = [
+            " ".join(vocab[rng.randint(len(vocab))]
+                     for _ in range(rng.randint(1, 5)))
+            for _ in range(n_lines)
+        ]
+        scale = int(rng.randint(1, 4))
+        page = render_text(lines, scale=scale)
+        _, _, pix = decode_jpeg_baseline(
+            encode_jpeg_baseline(page, quality=85))
+        assert ocr_image(pix) == _expected(lines), (case, scale, lines)
+
+
+# ---------------------------------------------------------------------------
+# reject gates: garbage must not transcribe
+# ---------------------------------------------------------------------------
+
+def test_noise_page_rejected():
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 255, (200, 300), dtype=np.uint8)
+    assert ocr_image(noise) == ""
+    assert ocr_page_segments(noise) == []
+    assert ocr_page_blocks(noise) == []
+
+
+def test_photo_page_rejected():
+    yy, xx = np.mgrid[0:160, 0:240]
+    photo = (128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 11.0)).astype(np.uint8)
+    assert ocr_image(photo) == ""
+
+
+def test_blank_page_rejected():
+    assert ocr_image(np.full((100, 100), 255, np.uint8)) == ""
+
+
+def test_reject_mse_calibration():
+    """Both sides of the confidence gate: a crisp glyph cell matches its
+    template well under the threshold; a mid-gray cell (what a
+    photograph block-means to) sits above it for every template."""
+    crisp = (render_text(["A"], scale=2, margin=0) < 128).astype(np.float32)
+    small = crisp.reshape(GLYPH_H, 2, 5, 2).mean(axis=(1, 3))
+    mses = ((small[None] - _TEMPLATES) ** 2).mean(axis=(1, 2))
+    assert mses.min() < _REJECT_MSE / 3
+    flat = np.full((GLYPH_H, 5), 0.5, np.float32)
+    assert (((flat[None] - _TEMPLATES) ** 2).mean(axis=(1, 2))
+            > _REJECT_MSE).all()
+    assert 0 < _MAX_REJECT_FRAC < 1
+
+
+# ---------------------------------------------------------------------------
+# geometry: segments, paragraph blocks, columns, mixed scale
+# ---------------------------------------------------------------------------
+
+def test_blocks_group_paragraphs_and_split_on_blank_line():
+    page = render_text(["one two", "three four", "", "five six"], scale=2)
+    blocks = ocr_page_blocks(page)
+    assert [b["text"] for b in blocks] == ["ONE TWO THREE FOUR", "FIVE SIX"]
+    assert blocks[0]["scale"] == 2
+    assert blocks[0]["bot"] <= blocks[1]["top"]
+
+
+def test_blocks_separate_heading_scale_from_body():
+    head = render_text(["Title"], scale=3, margin=0)
+    body = render_text(["body line one", "body line two"], scale=2, margin=0)
+    page = _composite([(head, 10, 10), (body, 50, 10)])
+    blocks = ocr_page_blocks(page)
+    assert [(b["scale"], b["text"]) for b in blocks] == [
+        (3, "TITLE"), (2, "BODY LINE ONE BODY LINE TWO")]
+
+
+def test_two_columns_off_grid_phase():
+    """The right column is pasted off the left column's cell grid — the
+    per-segment grid-phase estimate must still recognize both, and the
+    paragraph grouping must keep them separate blocks."""
+    left = render_text(["alpha beta", "gamma delta"], scale=2, margin=0)
+    right = render_text(["one two", "three four"], scale=2, margin=0)
+    page = _composite([(left, 10, 10), (right, 10, 10 + left.shape[1] + 41)])
+    blocks = ocr_page_blocks(page)
+    assert [b["text"] for b in blocks] == [
+        "ALPHA BETA GAMMA DELTA", "ONE TWO THREE FOUR"]
+    assert blocks[0]["x1"] < blocks[1]["x0"]
+
+
+def test_segment_geometry_is_pixel_exact():
+    page = render_text(["AB"], scale=2)  # margin 12, advance 12, glyph 10
+    (seg,) = ocr_page_segments(page)
+    assert (seg["top"], seg["bot"]) == (12, 26)
+    assert (seg["x0"], seg["x1"]) == (12, 12 + 12 + 10)
+    assert seg["text"] == "AB"
+
+
+def test_render_text_rejects_bad_scale():
+    with pytest.raises(ValueError):
+        render_text(["x"], scale=0)
+
+
+# ---------------------------------------------------------------------------
+# routing tier (pure-python side of the Spark bridge)
+# ---------------------------------------------------------------------------
+
+def _fixture(name: str) -> bytes:
+    with open(os.path.join(OCR_CORPUS, name), "rb") as fh:
+        return fh.read()
+
+
+def test_ocr_route_recognizes_scanned_pdf():
+    from parserpdf_spark.sources.files import ocr_route_file, route_file
+
+    data = _fixture("scan_0.pdf")
+    assert route_file("/x/scan_0.pdf", data)["ingest_status"] == "needs_ocr"
+    row = ocr_route_file("/x/scan_0.pdf", data)
+    assert row["ingest_status"] == "ok"
+    assert row["ingest_error"] is None
+    kinds = {s["kind"] for s in row["spans"]}
+    assert kinds == {"pdf_block"}
+    import json
+
+    blocks = [json.loads(s["text"]) for s in row["spans"]]
+    # the heading line was rendered at scale 3, the body at scale 2:
+    # font sizes must reflect that so the layout kernel ranks headings
+    sizes = sorted({b["font_size"] for b in blocks})
+    assert sizes == [14.0, 21.0]
+    texts = " ".join(b["text"] for b in blocks)
+    assert "THE FAST KEY" in texts
+
+
+def test_ocr_route_multipage_order():
+    import json
+
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    row = ocr_route_file("/x/scan_1.pdf", _fixture("scan_1.pdf"))
+    assert row["ingest_status"] == "ok"
+    pages = [json.loads(s["text"])["page"] for s in row["spans"]]
+    assert sorted(set(pages)) == [0, 1]
+
+
+def test_ocr_route_photo_stays_needs_ocr():
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    row = ocr_route_file("/x/scan_3.pdf", _fixture("scan_3.pdf"))
+    assert row["ingest_status"] == "needs_ocr"
+    assert "no recognizable text" in row["ingest_error"]
+    assert row["spans"] == []
+
+
+def test_ocr_route_truncated_jpeg_is_error():
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    row = ocr_route_file("/x/scan_4.pdf", _fixture("scan_4.pdf"))
+    assert row["ingest_status"] == "error"
+    assert "ocr tier" in row["ingest_error"]
+
+
+def test_ocr_route_delegates_non_pdf():
+    from parserpdf_spark.sources.files import ocr_route_file, route_file
+
+    name = next(n for n in os.listdir(OCR_CORPUS) if n.endswith(".html"))
+    data = _fixture(name)
+    assert ocr_route_file(f"/x/{name}", data) == route_file(f"/x/{name}", data)
+
+
+def test_ocr_extraction_matches_ground_truth_text():
+    """Independent anchor (not the golden): the recovered paragraph text
+    equals the SOURCE words from documents.parquet under
+    render_normalize — closing the loop render → JPEG → PDF → triage →
+    decode → OCR → layout against the original corpus text."""
+    import json
+
+    import pandas as pd
+
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
+    ids = sorted(by_id)
+    words = [w for w in by_id[ids[0]].split() if w]
+
+    row = ocr_route_file("/x/scan_0.pdf", _fixture("scan_0.pdf"))
+    blocks = [json.loads(s["text"]) for s in row["spans"]]
+    got = " ".join(b["text"] for b in blocks).split()
+    want = [render_normalize(w) for w in words[:33]]
+    assert got == want

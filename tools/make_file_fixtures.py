@@ -941,6 +941,209 @@ def build_scanned_pdf() -> bytes:
     return bytes(out)
 
 
+OCR_FIXTURES = os.path.join(REPO, "fixtures", "ocr_corpus")
+
+
+def _ocr_composite(frags: list, pad: int = 12):
+    """Paste rendered fragments [(img2d, top, left)] onto one white
+    canvas (min-blend, so overlaps stay ink)."""
+    import numpy as np
+
+    h = max(t + f.shape[0] for f, t, _ in frags) + pad
+    w = max(left + f.shape[1] for f, _, left in frags) + pad
+    canvas = np.full((h, w), 255, np.uint8)
+    for f, t, left in frags:
+        region = canvas[t:t + f.shape[0], left:left + f.shape[1]]
+        np.minimum(region, f, out=region)
+    return canvas
+
+
+def build_scanned_pdf_pages(pages: list[tuple[bytes, int, int, bool]]) -> bytes:
+    """N scanned pages [(jpeg_bytes, w_px, h_px, gray)] → a text-layer-
+    absent PDF, one full-page DCTDecode image XObject per page placed
+    1:1 (1 px = 1 pt) at a fixed margin — the triage path classifies it
+    ``needs_ocr`` and the OCR tier recovers the text."""
+    margin = 20
+    objs: dict[int, bytes] = {}
+    kids: list[int] = []
+    nxt = 4
+    for idx, (jp, w, h, gray) in enumerate(pages):
+        pg, ct, im = nxt, nxt + 1, 100 + idx
+        nxt += 2
+        kids.append(pg)
+        content = f"q {w} 0 0 {h} {margin} {margin} cm /Im1 Do Q".encode()
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox "
+            f"[0 0 {w + 2 * margin} {h + 2 * margin}] "
+            f"/Resources << /XObject << /Im1 {im} 0 R >> >> "
+            f"/Contents {ct} 0 R >>"
+        ).encode()
+        objs[ct] = (f"<< /Length {len(content)} >>".encode()
+                    + b"\nstream\n" + content + b"\nendstream")
+        cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        objs[im] = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            .encode()
+            + b"/BitsPerComponent 8 /ColorSpace " + cs
+            + b" /Filter /DCTDecode "
+            + f"/Length {len(jp)} >>".encode()
+            + b"\nstream\n" + jp + b"\nendstream"
+        )
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Kids ["
+               + b" ".join(f"{k} 0 R".encode() for k in kids)
+               + f"] /Count {len(kids)} >>".encode())
+    out = bytearray(b"%PDF-1.4\n")
+    for n in sorted(objs):
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def build_ocr_corpus() -> None:
+    """``fixtures/ocr_corpus/``: scanned (text-layer-absent) PDFs whose
+    page images are rendered by the OCR kernel's own atlas and encoded
+    with the repo's JPEG encoder — ground truth is exactly the source
+    lines under ``render_normalize``, so the whole loop (render → JPEG
+    → PDF → triage → decode → OCR → layout) is deterministic."""
+    import numpy as np
+
+    from parserpdf_spark.kernels.jpeg import encode_jpeg_baseline
+    from parserpdf_spark.kernels.ocr import render_text
+
+    src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
+    ids = sorted(by_id)
+
+    if os.path.isdir(OCR_FIXTURES):
+        shutil.rmtree(OCR_FIXTURES)
+    os.makedirs(OCR_FIXTURES)
+
+    def frag(lines: list[str], scale: int):
+        return render_text(lines, scale=scale, margin=0)
+
+    def gray_jpeg(img, **kw) -> tuple[bytes, int, int, bool]:
+        return (encode_jpeg_baseline(img, **kw), img.shape[1],
+                img.shape[0], True)
+
+    def rgb_jpeg(img, **kw) -> tuple[bytes, int, int, bool]:
+        rgb = np.stack([img, img, img], axis=-1)
+        return (encode_jpeg_baseline(rgb, **kw), img.shape[1],
+                img.shape[0], False)
+
+    # scan_0: heading (scale 3) over two paragraphs (scale 2, split by a
+    # blank line), grayscale q90
+    w0 = _words(by_id[ids[0]])
+    head = frag([" ".join(w0[:3])], 3)
+    body = frag(_wrap_words(w0[3:18], 4) + [""] + _wrap_words(w0[18:33], 4), 2)
+    page = _ocr_composite([(head, 16, 16), (body, 70, 16)])
+    with open(os.path.join(OCR_FIXTURES, "scan_0.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages([gray_jpeg(page, quality=90)]))
+
+    # scan_1: TWO pages (page-order matters), RGB q88
+    w1 = _words(by_id[ids[1]])
+    pg_a = _ocr_composite([
+        (frag([" ".join(w1[:2])], 3), 16, 16),
+        (frag(_wrap_words(w1[2:14], 4), 2), 64, 16),
+    ])
+    pg_b = _ocr_composite([(frag(_wrap_words(w1[14:26], 4), 2), 16, 16)])
+    with open(os.path.join(OCR_FIXTURES, "scan_1.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages(
+            [rgb_jpeg(pg_a, quality=88), rgb_jpeg(pg_b, quality=88)]))
+
+    # scan_2: wide heading ABOVE a two-column body (the right column is
+    # deliberately pasted OFF the left column's cell grid), gray q90 —
+    # exercises per-segment grid phase, column clustering, and the
+    # spanning-block band split in the layout kernel
+    w2 = _words(by_id[ids[2]])
+    head2 = frag([" ".join(w2[:5])], 3)
+    left = frag(_wrap_words(w2[5:17], 3), 2)
+    right = frag(_wrap_words(w2[17:29], 3), 2)
+    page2 = _ocr_composite([
+        (head2, 14, 14),
+        (left, 70, 14),
+        (right, 70, 14 + left.shape[1] + 41),
+    ])
+    with open(os.path.join(OCR_FIXTURES, "scan_2.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages([gray_jpeg(page2, quality=90)]))
+
+    # scan_3: a photograph (smooth field + noise) — no glyph content;
+    # the reject gate must keep this needs_ocr, not transcribe garbage
+    rng = np.random.RandomState(42)
+    yy, xx = np.mgrid[0:160, 0:240]
+    photo = (128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 11.0)
+             + rng.randint(-30, 30, (160, 240))).clip(0, 255).astype(np.uint8)
+    with open(os.path.join(OCR_FIXTURES, "scan_3.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages([gray_jpeg(photo, quality=85)]))
+
+    # scan_4: truncated JPEG payload — the OCR tier surfaces the codec's
+    # ValueError as ingest_status="error" (keep-with-status)
+    trunc = gray_jpeg(page, quality=90)[0][:64]
+    with open(os.path.join(OCR_FIXTURES, "scan_4.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages(
+            [(trunc, page.shape[1], page.shape[0], True)]))
+
+    # scan_5: digits + punctuation, 4:2:0 chroma subsampling, q85
+    w5 = _words(by_id[ids[3]])
+    lines5 = [
+        "invoice no. 4711 / 2026",
+        "total: $1,234.56 (+7.5%)",
+        "approved? yes! \"signed\"",
+    ] + _wrap_words(w5[:8], 4)
+    page5 = _ocr_composite([(frag(lines5, 2), 16, 16)])
+    with open(os.path.join(OCR_FIXTURES, "scan_5.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages(
+            [rgb_jpeg(page5, quality=85, subsample=True)]))
+
+    # a plain HTML file in the same directory: the OCR router must
+    # delegate non-needs_ocr inputs to the ordinary route unchanged
+    html_id = ids[4]
+    spans = synth_html_doc(str(html_id), by_id[html_id], html_id)
+    with open(os.path.join(OCR_FIXTURES, f"doc_{html_id}.html"), "w") as fh:
+        fh.write("".join(s["text"] for s in spans))
+
+
+def build_ocr_goldens() -> None:
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    span_rows = {"doc_id": [], "kind": [], "text": [], "media_ref": [],
+                 "offset": []}
+    status_rows = {"doc_id": [], "src_path": [], "ingest_status": [],
+                   "n_spans": []}
+    for name in sorted(os.listdir(OCR_FIXTURES)):
+        path = os.path.join(OCR_FIXTURES, name)
+        with open(path, "rb") as fh:
+            routed = ocr_route_file(path, fh.read())
+        status_rows["doc_id"].append(routed["doc_id"])
+        status_rows["src_path"].append(routed["src_path"])
+        status_rows["ingest_status"].append(routed["ingest_status"])
+        status_rows["n_spans"].append(len(routed["spans"]))
+        if routed["ingest_status"] != "ok":
+            continue
+        out, metrics = extract_document_safe(routed["spans"])
+        assert metrics["status"] == "ok", (name, metrics)
+        for s in out:
+            span_rows["doc_id"].append(routed["doc_id"])
+            span_rows["kind"].append(s["kind"])
+            span_rows["text"].append(s["text"])
+            span_rows["media_ref"].append(s["media_ref"])
+            span_rows["offset"].append(s["offset"])
+
+    spans = pd.DataFrame(span_rows)
+    spans["offset"] = spans["offset"].astype("int32")
+    spans.to_parquet(os.path.join(GOLDENS, "extract_ocr.parquet"),
+                     index=False)
+    status = pd.DataFrame(status_rows)
+    status["n_spans"] = status["n_spans"].astype("int32")
+    status.to_parquet(
+        os.path.join(GOLDENS, "ocr_ingest_status.parquet"), index=False
+    )
+    print(
+        f"{OCR_FIXTURES}: {len(status)} files; ocr goldens: "
+        f"{len(spans)} spans, {spans['doc_id'].nunique()} extractable docs"
+    )
+
+
 def build_corpus() -> None:
     src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     by_id = dict(zip(src["doc_id"].astype(int), src["text"]))
@@ -1229,3 +1432,5 @@ if __name__ == "__main__":
     build_goldens()
     build_warc_corpus()
     build_warc_goldens()
+    build_ocr_corpus()
+    build_ocr_goldens()
