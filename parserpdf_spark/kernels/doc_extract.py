@@ -23,9 +23,12 @@ STSH style sheet maps istd → sti (headings are sti 1..9) and
 PlcfBtePapx → PAPX FKP pages map each paragraph mark's FC to its istd
 and table sprms — styled paragraphs become ``<hN>``, and
 sprmPFInTable/sprmPFTtp paragraphs (cells split at 0x07 marks, rows
-closed by TTP marks) become ``<table><tr><td>``.  Scope (honest): no
-character formatting, no embedded objects; style/table structures that
-fail to parse degrade to plain paragraphs without losing text.
+closed by TTP marks) become ``<table><tr><td>``.  Character runs
+decode through PlcfBteChpx → CHPX FKP pages for the two classic
+toggles: sprmCFBold/sprmCFItalic runs become ``<strong>``/``<em>``.
+Scope (honest): no other character properties, no embedded (OLE)
+objects; style/table/character structures that fail to parse degrade
+to plain paragraphs without losing text.
 Anything outside the core text subset raises ValueError → the
 dispatcher's ``status="error"`` contract.
 """
@@ -275,13 +278,10 @@ def _stsh_heading_levels(stsh: bytes) -> dict[int, int]:
     return out
 
 
-def _papx_flags(grp: bytes) -> tuple[bool, bool]:
-    """Walk a PAPX grpprl (after istd) for the two table sprms:
-    sprmPFInTable (0x2416) and sprmPFTtp (0x2417).  Operand sizes
+def _iter_sprms(grp: bytes, pos: int = 0):
+    """Yield (opcode, operand bytes) over a grpprl.  Operand sizes
     follow the spra bits of each opcode ([MS-DOC] 2.2.5.1); truncated
     tails stop the walk (best-effort)."""
-    in_table = ttp = False
-    pos = 2  # past istd
     while pos + 2 <= len(grp):
         (op,) = struct.unpack_from("<H", grp, pos)
         pos += 2
@@ -296,13 +296,21 @@ def _papx_flags(grp: bytes) -> tuple[bool, bool]:
             size = 4
         else:  # 6: variable, first operand byte is the length
             if pos >= len(grp):
-                break
+                return
             size = 1 + grp[pos]
-        if op == 0x2416 and pos < len(grp):
-            in_table = grp[pos] != 0
-        elif op == 0x2417 and pos < len(grp):
-            ttp = grp[pos] != 0
+        yield op, grp[pos : pos + size]
         pos += size
+
+
+def _papx_flags(grp: bytes) -> tuple[bool, bool]:
+    """Walk a PAPX grpprl (after istd) for the two table sprms:
+    sprmPFInTable (0x2416) and sprmPFTtp (0x2417)."""
+    in_table = ttp = False
+    for op, operand in _iter_sprms(grp, 2):  # past istd
+        if op == 0x2416 and operand:
+            in_table = operand[0] != 0
+        elif op == 0x2417 and operand:
+            ttp = operand[0] != 0
     return in_table, ttp
 
 
@@ -352,16 +360,62 @@ def _papx_istd_runs(
     return runs
 
 
+def _chpx_format_runs(
+    word: bytes, plc: bytes
+) -> list[tuple[int, int, bool, bool]]:
+    """PlcfBteChpx bytes → [(fc_start, fc_lim, bold, italic)] character
+    runs, resolved through the 512-byte CHPX FKP pages in the
+    WordDocument stream.  Only the two classic toggles decode
+    (sprmCFBold 0x0835, sprmCFItalic 0x0836); a ToggleOperand of 1 or
+    0x81 reads as ON (style-level character formatting is out of scope,
+    so "opposite of style" means on against the plain default)."""
+    if len(plc) < 12:
+        return []
+    n = (len(plc) - 4) // 8
+    fcs = [struct.unpack_from("<I", plc, i * 4)[0] for i in range(n + 1)]
+    runs: list[tuple[int, int, bool, bool]] = []
+    for i in range(n):
+        (pn,) = struct.unpack_from("<I", plc, (n + 1) * 4 + i * 4)
+        pn &= 0x3FFFFF
+        page = word[pn * 512 : (pn + 1) * 512]
+        if len(page) < 512:
+            raise ValueError("CHPX FKP page out of range")
+        crun = page[511]
+        if crun == 0 or crun > 0x7F:
+            raise ValueError("implausible CHPX FKP crun")
+        rgfc = [struct.unpack_from("<I", page, k * 4)[0]
+                for k in range(crun + 1)]
+        for k in range(crun):
+            bx = page[(crun + 1) * 4 + k]
+            bold = italic = False
+            if bx:
+                off = bx * 2
+                if off >= 511:
+                    raise ValueError("CHPX offset out of page")
+                cb = page[off]
+                grp = page[off + 1 : off + 1 + cb]
+                for op, operand in _iter_sprms(grp):
+                    if op == 0x0835 and operand:
+                        bold = operand[0] in (1, 0x81)
+                    elif op == 0x0836 and operand:
+                        italic = operand[0] in (1, 0x81)
+            runs.append((rgfc[k], rgfc[k + 1], bold, italic))
+        if fcs[i] > rgfc[0] or fcs[i + 1] < rgfc[crun]:
+            raise ValueError("PlcfBteChpx/FKP fc mismatch")
+    return runs
+
+
 def _doc_paragraph_levels(
     data: bytes,
-) -> list[tuple[str, str, int, bool, bool]]:
-    """.doc bytes → [(text, mark, heading level, in_table, ttp)] per
-    paragraph, where ``mark`` is the terminating character ("\\r" for
+) -> list[tuple[list[tuple[str, bool, bool]], str, int, bool, bool]]:
+    """.doc bytes → [(segments, mark, heading level, in_table, ttp)] per
+    paragraph, where ``segments`` is [(text, bold, italic)] character
+    runs in order, ``mark`` is the terminating character ("\\r" for
     normal paragraphs, "\\x07" for cell/row marks, "" for an unmarked
-    tail) and ``ttp`` marks a table-row terminator.  Style/table
-    decoding is BEST-EFFORT: any inconsistency in STSH/PAPX structures
-    degrades to plain paragraphs (the text itself is never lost) — only
-    the core text path raises."""
+    tail) and ``ttp`` marks a table-row terminator.  Style/table/
+    character decoding is BEST-EFFORT: any inconsistency in
+    STSH/PAPX/CHPX structures degrades to plain paragraphs (the text
+    itself is never lost) — only the core text path raises."""
     internals = _doc_internals(data)  # raises for out-of-subset files
     runs_chars = _doc_chars(data, internals)
 
@@ -381,9 +435,20 @@ def _doc_paragraph_levels(
     except (ValueError, struct.error, IndexError):
         heading, runs = {}, []
 
+    cruns: list[tuple[int, int, bool, bool]] = []
+    try:
+        word, table, _, _ = internals
+        (fc_chp,) = struct.unpack_from("<I", word, 0x00FA)
+        (lcb_chp,) = struct.unpack_from("<I", word, 0x00FE)
+        if lcb_chp:
+            cruns = _chpx_format_runs(word, table[fc_chp : fc_chp + lcb_chp])
+    except (ValueError, struct.error, IndexError):
+        cruns = []
+
     import bisect
 
     run_los = [r[0] for r in runs]  # bin-table order is fc order
+    crun_los = [r[0] for r in cruns]
 
     def props_at(fc: int) -> tuple[int, bool, bool]:
         # binary search: a pathological file with millions of paragraph
@@ -395,8 +460,25 @@ def _doc_paragraph_levels(
                 return heading.get(istd, 0), in_table, ttp
         return 0, False, False
 
-    paras: list[tuple[str, str, int, bool, bool]] = []
+    def fmt_at(fc: int) -> tuple[bool, bool]:
+        i = bisect.bisect_right(crun_los, fc) - 1
+        if 0 <= i < len(cruns):
+            lo, hi, bold, italic = cruns[i]
+            if lo <= fc < hi:
+                return bold, italic
+        return False, False
+
+    paras: list[tuple[list[tuple[str, bool, bool]], str, int, bool, bool]] = []
+    segments: list[tuple[str, bool, bool]] = []
     cur: list[str] = []
+    cur_fmt = (False, False)
+
+    def close_segment() -> None:
+        nonlocal cur
+        if cur:
+            segments.append(("".join(cur), cur_fmt[0], cur_fmt[1]))
+            cur = []
+
     for text, (fc0, step) in runs_chars:
         off = 0  # BYTE offset within the piece: UTF-16 pieces advance 2
         # bytes per CODE UNIT, and astral chars occupy TWO units — a
@@ -407,13 +489,19 @@ def _doc_paragraph_levels(
                 # the paragraph MARK's properties style the paragraph;
                 # 0x07 is both a paragraph mark and a cell/row mark
                 level, in_table, ttp = props_at(fc0 + off)
-                paras.append(("".join(cur), ch, level, in_table, ttp))
-                cur = []
+                close_segment()
+                paras.append((segments, ch, level, in_table, ttp))
+                segments = []
             else:
+                fmt = fmt_at(fc0 + off) if cruns else (False, False)
+                if fmt != cur_fmt:
+                    close_segment()
+                    cur_fmt = fmt
                 cur.append(ch)
             off += units * step
-    if cur:
-        paras.append(("".join(cur), "", 0, False, False))
+    close_segment()
+    if segments:
+        paras.append((segments, "", 0, False, False))
     return paras
 
 
@@ -422,9 +510,12 @@ def doc_to_html(data: bytes) -> str:
     emits: Heading-N styled paragraphs (via STSH + PAPX istd lookup)
     become ``<hN>`` (capped at h6); table paragraphs (sprmPFInTable,
     cells split at 0x07 marks, rows closed by sprmPFTtp marks) become
-    ``<table><tr><td>``; everything else ``<p>``.  Style/table decode
-    is best-effort — files without parseable structures degrade to
-    plain paragraphs, never lose text."""
+    ``<table><tr><td>``; bold/italic character runs (PlcfBteChpx →
+    CHPX FKP sprmCFBold/sprmCFItalic) become ``<strong>``/``<em>``
+    (which the downstream HTML kernel renders as ``**…**``/``*…*``);
+    everything else ``<p>``.  Style/table/character decode is
+    best-effort — files without parseable structures degrade to plain
+    paragraphs, never lose text."""
     from html import escape
 
     try:
@@ -432,10 +523,34 @@ def doc_to_html(data: bytes) -> str:
     except struct.error as exc:
         raise ValueError(f"malformed .doc structure: {exc}") from exc
 
-    def clean(text: str) -> str:
+    def clean(segments: list[tuple[str, bool, bool]]) -> str:
         # strip remaining Word control marks (page break 0x0C, line
-        # break 0x0B → space); cell marks are handled structurally
-        return text.replace("\x0b", " ").replace("\x0c", "").strip()
+        # break 0x0B → space); cell marks are handled structurally.
+        # Outer whitespace trims across segment boundaries so a
+        # formatted paragraph renders exactly like its plain twin.
+        segs = [
+            (s.replace("\x0b", " ").replace("\x0c", ""), b, i)
+            for s, b, i in segments
+        ]
+        while segs and not segs[0][0].lstrip():
+            segs.pop(0)
+        if segs:
+            s0, b0, i0 = segs[0]
+            segs[0] = (s0.lstrip(), b0, i0)
+        while segs and not segs[-1][0].rstrip():
+            segs.pop()
+        if segs:
+            sN, bN, iN = segs[-1]
+            segs[-1] = (sN.rstrip(), bN, iN)
+        out = []
+        for text, bold, italic in segs:
+            h = escape(text)
+            if italic:
+                h = f"<em>{h}</em>"
+            if bold:
+                h = f"<strong>{h}</strong>"
+            out.append(h)
+        return "".join(out)
 
     parts = ["<body><article>"]
     rows: list[list[str]] = []      # completed rows of the open table
@@ -457,29 +572,29 @@ def doc_to_html(data: bytes) -> str:
             parts.append("</table>")
         rows, cells, cell_buf = [], [], []
 
-    for para, mark, level, in_table, ttp in paras:
-        text = clean(para)
+    for segments, mark, level, in_table, ttp in paras:
+        text = clean(segments)  # already HTML-escaped + formatted
         if in_table:
             if mark == "\x07" and ttp:
                 if cell_buf:
                     cells.append(" ".join(cell_buf))
                     cell_buf = []
                 if text:  # text directly on a row mark (unusual)
-                    cells.append(escape(text))
+                    cells.append(text)
                 rows.append(cells)
                 cells = []
             elif mark == "\x07":
-                cell_buf.append(escape(text))
+                cell_buf.append(text)
                 cells.append(" ".join(cell_buf))
                 cell_buf = []
             else:  # \r inside a cell: another paragraph of the same cell
                 if text:
-                    cell_buf.append(escape(text))
+                    cell_buf.append(text)
             continue
         flush_table()
         if text:
             tag = f"h{min(level, 6)}" if level else "p"
-            parts.append(f"<{tag}>{escape(text)}</{tag}>")
+            parts.append(f"<{tag}>{text}</{tag}>")
     flush_table()
     parts.append("</article></body>")
     return "".join(parts)

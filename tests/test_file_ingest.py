@@ -1058,9 +1058,14 @@ def test_doc_stsh_heading_styles():
     assert styled.count("<tr>") == 2 and styled.count("<td>") == 6
     assert re.findall(r"<td>(.*?)</td>", styled) == words[3:9]
     # every BODY paragraph of the plain build survives in the styled
-    # one (the first <p> is the title, which styled promotes to <h1>)
+    # one (the first <p> is the title, which styled promotes to <h1>;
+    # CHPX formatting wraps runs in <strong>/<em> without text drift)
+    unformat = lambda s: re.sub(r"</?(?:strong|em)>", "", s)  # noqa: E731
     for p_text in re.findall(r"<p>(.*?)</p>", plain)[1:]:
-        assert f"<p>{p_text}</p>" in styled
+        assert f"<p>{p_text}</p>" in unformat(styled)
+
+    # CHPX character runs: first body word bold, second italic
+    assert f"<strong>{words[3]}</strong> <em>{words[4]}</em>" in styled
 
     # corrupt the style pointers: table/heading structure degrades but
     # ALL words survive as text
@@ -1073,6 +1078,15 @@ def test_doc_stsh_heading_styles():
     degraded_words = re.sub(r"<[^>]+>", " ", degraded).split()
     for wd in words:
         assert wd in degraded_words
+
+    # corrupt the CHARACTER-run pointer only: formatting degrades to
+    # plain runs, paragraph/table structure and every word survive
+    raw = bytearray(build_doc(40, text, styled=True))
+    struct.pack_into("<I", raw, fib_at + 0x00FA, 0xFFFFFF00)
+    no_chp = doc_to_html(bytes(raw))
+    assert "<strong>" not in no_chp and "<em>" not in no_chp
+    assert no_chp.count("<tr>") == 2 and no_chp.count("<h1>") == 1
+    assert no_chp == unformat(styled)
 
 
 def test_pdf_simple_font_encodings_and_type3():

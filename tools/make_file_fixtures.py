@@ -396,16 +396,63 @@ def build_doc(nid: int, text: str, styled: bool = False,
         word_stream = word_stream + b"\x00" * (pn * 512 - len(word_stream))
         word_stream += bytes(page)
 
+        # --- CHPX FKP page: bold the first word and italicize the
+        # second word of the first body paragraph (sprmCFBold 0x0835 /
+        # sprmCFItalic 0x0836 toggles) — the runs cover [fc, fc_lim]
+        # contiguously as the kernel's consistency check requires
+        chp_runs: list[tuple[int, bytes | None]] = []
+        body = paras[1] if len(paras) > 1 else ""
+        body_words = body.split()
+        if len(body_words) >= 2:
+            prefix = paras[0] + "\r"
+            if with_table:
+                prefix += row1 + "\x07" + row2 + "\x07"
+            b0 = TEXT_AT + len(prefix.encode(enc))
+            b1 = b0 + len(body_words[0].encode(enc))
+            i0 = b1 + len(" ".encode(enc))
+            i1 = i0 + len(body_words[1].encode(enc))
+            bold_grp = b"\x35\x08\x01"
+            ital_grp = b"\x36\x08\x01"
+            chp_runs = [
+                (fc_first, None), (b0, bold_grp), (b1, None),
+                (i0, ital_grp), (i1, None),
+            ]
+        pn_chp = 0
+        bte_chp = b""
+        if chp_runs:
+            cpage = bytearray(512)
+            crun_c = len(chp_runs)
+            lims = [lo for lo, _ in chp_runs[1:]] + [fc_lim]
+            struct.pack_into("<I", cpage, 0, chp_runs[0][0])
+            for k, lim in enumerate(lims):
+                struct.pack_into("<I", cpage, 4 * (k + 1), lim)
+            blob_off = {id(bold_grp): 480, id(ital_grp): 490}
+            for grp, off in ((bold_grp, 480), (ital_grp, 490)):
+                cpage[off] = len(grp)
+                cpage[off + 1 : off + 1 + len(grp)] = grp
+            for k, (_, grp) in enumerate(chp_runs):
+                cpage[(crun_c + 1) * 4 + k] = (
+                    0 if grp is None else blob_off[id(grp)] // 2)
+            cpage[511] = crun_c
+            pn_chp = -(-len(word_stream) // 512)
+            word_stream = word_stream + b"\x00" * (
+                pn_chp * 512 - len(word_stream)) + bytes(cpage)
+            bte_chp = struct.pack("<III", fc_first, fc_lim, pn_chp)
+
         # --- PlcfBtePapx: [fc_first, fc_lim] → pn
         bte = struct.pack("<III", fc_first, fc_lim, pn)
         fc_stsh = len(table_stream)
         fc_bte = fc_stsh + len(stsh)
-        table_stream = table_stream + stsh + bte
+        fc_bte_chp = fc_bte + len(bte)
+        table_stream = table_stream + stsh + bte + bte_chp
         fib = bytearray(word_stream[:TEXT_AT])
         struct.pack_into("<I", fib, 0x00A2, fc_stsh)
         struct.pack_into("<I", fib, 0x00A6, len(stsh))
         struct.pack_into("<I", fib, 0x0102, fc_bte)
         struct.pack_into("<I", fib, 0x0106, len(bte))
+        if bte_chp:
+            struct.pack_into("<I", fib, 0x00FA, fc_bte_chp)
+            struct.pack_into("<I", fib, 0x00FE, len(bte_chp))
         word_stream = bytes(fib) + word_stream[TEXT_AT:]
 
     return _cfb_container({"WordDocument": word_stream, "1Table": table_stream})
