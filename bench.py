@@ -110,6 +110,16 @@ def _timed_extract(spark, docs_path: str) -> tuple[float, int, int]:
     return best, n_docs, n_rows
 
 
+# interleaved-episode min-of-N for the HEADLINE mode (the scaling mode
+# already interleaves): the VM's contention comes in minutes-long
+# episodes, so a single sweep can land entirely inside one and read as a
+# 3× regression (the r4 driver bench did exactly that — control 5.4 vs
+# 7.3 baseline).  Each episode re-measures the hardware control, so
+# every query also gets a *normalized* best from the episode whose
+# control was measured alongside it.
+MIN_OF = int(os.environ.get("BENCH_MIN_OF", "2"))
+
+
 def _run_headline(sf_dir: str, cpus: str) -> dict:
     from parserpdf_spark.session import get_spark
 
@@ -118,48 +128,67 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
     spark = get_spark(cores=cpus, app_name="parserpdf_bench")
     docs_path = ensure_docs_table(spark, sf_dir, REPLICATE)
 
-    # the VM's contention comes in minutes-long episodes, so a single
-    # min-of-N burst can land entirely inside one; spread the flagship
-    # timing across the whole bench (one burst before the headline
-    # queries, one after) and keep the best
-    ext1, n_docs, _ = _timed_extract(spark, docs_path)
-
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qmap:
-            continue
-        # min-of-2: the first execution of a query pays codegen + python
-        # worker warmup (observed 6× on the heavier dedup queries); the
-        # second run measures the operator
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            qmap[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+    timings_norm: dict[str, float] = {}
+    controls: list[float] = []
+    ext_best = None
+    n_docs = 0
 
-    ext2, _, _ = _timed_extract(spark, docs_path)
-    ext_sec = min(ext1, ext2)
-    timings["extract_stored_table"] = round(ext_sec, 3)
+    def keep(name: str, dt: float, factor: float) -> None:
+        if name not in timings or dt < timings[name]:
+            timings[name] = dt
+        norm = dt / factor
+        if name not in timings_norm or norm < timings_norm[name]:
+            timings_norm[name] = norm
+
+    for episode in range(max(MIN_OF, 1)):
+        # same-episode hardware control: what the vCPUs deliver RIGHT
+        # NOW, so a contended episode is visible (and correctable)
+        # per query, not just once per bench
+        hw = _hardware_control(8)
+        controls.append(round(hw, 2))
+        factor = min(BASELINE_HW_CONTROL / hw, 3.0)
+
+        # flagship extraction burst once per episode (min across
+        # episodes replaces the old before/after pair)
+        ext_sec, n_docs, _ = _timed_extract(spark, docs_path)
+        ext_best = ext_sec if ext_best is None or ext_sec < ext_best else ext_best
+        keep("extract_stored_table", ext_sec, factor)
+
+        for name in HEADLINE:
+            if name not in qmap:
+                continue
+            # episode 0 pays codegen + python-worker warmup (observed
+            # 6× on the heavier dedup queries): run twice and keep the
+            # best; later episodes are warm and run once
+            runs = 2 if episode == 0 else 1
+            for _ in range(runs):
+                t0 = time.time()
+                qmap[name](spark, sf_dir).count()
+                keep(name, time.time() - t0, factor)
+
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    timings_norm = {k: round(v, 3) for k, v in timings_norm.items()}
     total = round(sum(timings.values()), 3)
-    # same-run hardware control: what the vCPUs deliver RIGHT NOW, so a
-    # contended episode is visible (and correctable) in the record
-    hw_ctrl = round(_hardware_control(8), 1)
+    hw_ctrl = max(controls)  # the quietest episode observed
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_hw_normalized": timings_norm,
+        "value_hw_normalized": round(sum(timings_norm.values()), 3),
+        "min_of_episodes": max(MIN_OF, 1),
+        "hw_control_per_episode": controls,
         "sf": sf_dir,
         "cpus": int(cpus),
         "extract_docs": n_docs,
-        "docs_per_sec": round(n_docs / ext_sec, 1),
+        "docs_per_sec": round(n_docs / ext_best, 1),
         "hw_control_tasks_per_sec": hw_ctrl,
         "hw_control_at_baseline": BASELINE_HW_CONTROL,
         "docs_per_sec_hw_normalized": round(
-            n_docs / ext_sec * min(BASELINE_HW_CONTROL / hw_ctrl, 3.0), 1
+            n_docs / ext_best * min(BASELINE_HW_CONTROL / hw_ctrl, 3.0), 1
         ),
     }
     result.update(_validate_sample(spark, docs_path, sf_dir))
