@@ -165,7 +165,13 @@ def lsh_candidate_pairs(
     num_bands: int = NUM_BANDS,
     num_perms: int = NUM_PERMS,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidates."""
+    """Banded LSH: docs sharing any band bucket become candidates.
+
+    The bucket key is ``xxhash64(band, h_i…)`` — one native JVM hash
+    over the band's signature columns (bigint shuffle key), not a
+    cryptographic digest of a concatenated string; a key collision can
+    only ADD a candidate pair, which the exact-Jaccard verify removes.
+    """
     rows = num_perms // num_bands
     bands = []
     for band in range(num_bands):
@@ -173,9 +179,7 @@ def lsh_candidate_pairs(
         bands.append(
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("\x01", *[c.cast("string") for c in cols])).alias(
-                    "key"
-                ),
+                F.xxhash64(F.lit(band), *cols).alias("key"),
             )
         )
     buckets = signatures.select(
@@ -192,7 +196,8 @@ def lsh_candidate_pairs(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float, n: int = 3, text_col: str = "text"
+    docs: DataFrame, threshold: float, n: int = 3, text_col: str = "text",
+    persist_candidates: bool = True,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold.
 
@@ -200,8 +205,21 @@ def minhash_lsh_pairs(
     documents (``only_pairs``), so the cost is the MinHash pass plus a
     shingle join over the candidate subset — never an all-pairs scan.
     At high thresholds the 16×4 banding's recall is ≈1, so output
-    matches exact all-pairs Jaccard."""
+    matches exact all-pairs Jaccard.
+
+    ``persist_candidates`` (default on) caches the candidate-pair list:
+    the verify plan references it TWICE (candidate-doc derivation + the
+    pair semi-join), and Spark's exchange reuse does not de-duplicate
+    the subtree under AQE — unpersisted, the whole signature+band
+    pipeline (the expensive part) executes twice per action (measured
+    ~1.7× end-to-end at sf0.1).  The pair list is near-dup-sized (tiny
+    relative to the corpus — candidates at threshold-grade banding are
+    actual near-dups plus rare false positives), so caching it is the
+    same contract a production run uses when it writes pairs to a table
+    between stages; pass False to keep the plan fully lazy."""
     candidates = lsh_candidate_pairs(minhash_signatures(docs, n=n, text_col=text_col))
+    if persist_candidates:
+        candidates = candidates.persist()
     return jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, only_pairs=candidates
     )
