@@ -1063,7 +1063,14 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The O(log n) connected-components scale path (alternating
     large-star/small-star, Kiveris et al. SoCC'14) over the SAME LSH
     pair list and against the SAME recursive-CTE oracle as
-    ``dedup_clusters`` — the chain-graph-safe variant, driver-verified."""
+    ``dedup_clusters`` — the chain-graph-safe variant, driver-verified.
+
+    The MinHash pipeline recomputes inside this query only to keep the
+    gate self-contained; the production contract is a PERSISTED pair
+    table between stages (``connected_components_star`` takes any pair
+    DataFrame — tests/test_training_ops.py round-trips it through
+    parquet, and bench.py times CC alone over stored pairs as
+    ``cc_star_persisted_pairs``)."""
     from parserpdf_spark.operators.dedup import (
         connected_components_star,
         minhash_lsh_pairs,

@@ -78,6 +78,24 @@ def ensure_docs_table(spark, sf_dir: str, replicate: int) -> str:
     return path
 
 
+def ensure_pairs_table(spark, sf_dir: str) -> str:
+    """Materialize the MinHash-LSH near-dup pair list once (untimed) —
+    the production contract persists pairs between stages, so the bench
+    can time connected components ALONE over a stored table."""
+    from parserpdf_spark.sources.synth import SYNTH_VERSION
+
+    import __spark_entry__ as entry_mod
+    from parserpdf_spark.operators.dedup import minhash_lsh_pairs
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(SCRATCH, f"pairs_{tag}_v{SYNTH_VERSION}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        minhash_lsh_pairs(
+            entry_mod._aug_docs(spark, sf_dir), threshold=0.8
+        ).select("doc_a", "doc_b").write.mode("overwrite").parquet(path)
+    return path
+
+
 TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 
 # the 8-proc pure-python burn rate measured on a quiet box when the
@@ -167,6 +185,17 @@ def _run_headline(sf_dir: str, cpus: str) -> dict:
                 t0 = time.time()
                 qmap[name](spark, sf_dir).count()
                 keep(name, time.time() - t0, factor)
+
+        # connected components alone, over the persisted pair table
+        # (the production contract; the gated query's in-query MinHash
+        # recompute would otherwise hide CC's own cost)
+        from parserpdf_spark.operators.dedup import connected_components_star
+
+        pairs_path = ensure_pairs_table(spark, sf_dir)
+        for _ in range(2 if episode == 0 else 1):
+            t0 = time.time()
+            connected_components_star(spark.read.parquet(pairs_path)).count()
+            keep("cc_star_persisted_pairs", time.time() - t0, factor)
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     timings_norm = {k: round(v, 3) for k, v in timings_norm.items()}

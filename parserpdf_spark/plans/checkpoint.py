@@ -159,6 +159,26 @@ def run_checkpointed_extraction(
     return committed_now
 
 
+def rollback_chunk(output_dir: str, chunk_id: int) -> dict:
+    """Un-commit one chunk — the shim's analog of an Iceberg snapshot
+    ROLLBACK (``rollback_to_snapshot`` dropping the bad commit).
+
+    The manifest IS the commit, so removing it atomically returns the
+    table to the state before that chunk committed: readers
+    (:func:`read_extracted` et al.) union committed chunks only, so the
+    rolled-back chunk's files — however corrupt — become invisible
+    immediately, while every earlier snapshot stays readable.  The next
+    :func:`run_checkpointed_extraction` sees the chunk as absent and
+    re-extracts exactly it (time travel forward again).  Returns the
+    dropped lineage record.
+    """
+    done = committed_chunks(output_dir)
+    if chunk_id not in done:
+        raise ValueError(f"chunk {chunk_id} is not committed — nothing to roll back")
+    os.unlink(os.path.join(output_dir, MANIFEST_DIR, f"chunk-{chunk_id}.json"))
+    return done[chunk_id]
+
+
 def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
     """Union of committed chunks only → extracted spans table."""
     done = committed_chunks(output_dir)

@@ -82,3 +82,66 @@ def test_rerun_is_noop(spark, sf_small, tmp_path):
     assert len(first) == 2
     second = run_checkpointed_extraction(spark, docs, out, n_chunks=2)
     assert second == []
+
+
+def test_rollback_corrupt_chunk_and_time_travel(spark, sf_small, tmp_path):
+    """Iceberg-equivalent rollback semantics: a corrupt last chunk rolls
+    back by dropping its manifest (the commit object); earlier snapshots
+    stay readable throughout; resume re-extracts EXACTLY the rolled-back
+    chunk; the final table equals the original — no dupes, no gaps."""
+    import os
+
+    from parserpdf_spark.plans.checkpoint import (
+        CHUNKS_DIR,
+        rollback_chunk,
+    )
+
+    out = str(tmp_path / "run3")
+    docs = synth_docs_df(spark, sf_small)
+    run_checkpointed_extraction(spark, docs, out, n_chunks=N_CHUNKS)
+    baseline = {
+        r["doc_id"]
+        for r in read_metrics(spark, out).select("doc_id").collect()
+    }
+    lineage0 = {
+        r["chunk_id"]: r["n_docs"]
+        for r in read_lineage(spark, out).collect()
+    }
+
+    # corrupt the last chunk's data files (torn write / bad node)
+    last = N_CHUNKS - 1
+    chunk_dir = os.path.join(out, CHUNKS_DIR, f"chunk={last}")
+    for name in os.listdir(chunk_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(chunk_dir, name), "wb") as fh:
+                fh.write(b"corrupt")
+
+    # rollback: drop the commit — the corrupt files become invisible
+    dropped = rollback_chunk(out, last)
+    assert dropped["chunk_id"] == last
+    assert sorted(committed_chunks(out)) == list(range(N_CHUNKS - 1))
+
+    # earlier snapshots readable while the table is rolled back, and
+    # they contain exactly the docs of the surviving chunks
+    partial = {
+        r["doc_id"]
+        for r in read_metrics(spark, out).select("doc_id").collect()
+    }
+    assert len(partial) == sum(
+        n for c, n in lineage0.items() if c != last)
+    assert partial < baseline
+
+    # rolling back a chunk that isn't committed is an error
+    with pytest.raises(ValueError, match="not committed"):
+        rollback_chunk(out, last)
+
+    # resume re-does exactly the rolled-back chunk
+    redone = run_checkpointed_extraction(spark, docs, out, n_chunks=N_CHUNKS)
+    assert [r["chunk_id"] for r in redone] == [last]
+
+    # time-traveled forward: identical doc set, no dupes, no gaps
+    metrics = read_metrics(spark, out)
+    assert {
+        r["doc_id"] for r in metrics.select("doc_id").collect()
+    } == baseline
+    assert metrics.count() == metrics.select("doc_id").distinct().count()

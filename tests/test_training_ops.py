@@ -363,6 +363,29 @@ def test_connected_components_clusters(spark):
     assert set(got2.values()) == {10}
 
 
+def test_connected_components_star_from_persisted_pairs(spark, tmp_path):
+    """The production contract: the pair list is a PERSISTED table
+    between pipeline stages — CC over pairs read back from parquet must
+    label identically to CC over the in-memory pair DataFrame (the
+    driver gate's self-contained recompute is only a gate convenience)."""
+    from parserpdf_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (9, 9)], "doc_a long, doc_b long"
+    )
+    inline = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    path = str(tmp_path / "pairs.parquet")
+    pairs.write.parquet(path)
+    stored = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(spark.read.parquet(path)).collect()
+    }
+    assert stored == inline == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A component whose diameter exceeds max_iters must raise — wrong
     (partially-propagated) cluster ids can never be consumed silently."""
