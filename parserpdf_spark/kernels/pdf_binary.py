@@ -69,9 +69,11 @@ decrypt from scratch — RC4 and AES via kernels/crypto.py +
 kernels/pdf_crypt.py (V1-V5, R2-R6); user-password-protected files and
 non-Standard handlers raise with the "encrypted" triage category.
 
-Scope (honest): predefined CID encodings other than Identity-* /
-UniXX-UCS2 (the raw-charset CMaps needing Adobe registry tables, e.g.
-GBK-EUC-H) raise; no CCITTFax/JBIG2/JPX decoding (JPX payloads pass
+Scope (honest): raw-charset predefined CID encodings (GBK-EUC-H,
+B5pc-H, … — the CMaps needing Adobe registry tables) extract ONLY when
+the font carries a /ToUnicode (codes decode through it, codespace from
+its codespacerange, widths via /DW); without one, or with a code the
+ToUnicode doesn't cover, they raise; no CCITTFax/JBIG2/JPX decoding (JPX payloads pass
 through raw).
 Anything outside the subset raises ValueError and the ingestion bridge
 keeps the ``needs_prechunk`` contract for it.
@@ -739,7 +741,8 @@ class _Font:
 
     __slots__ = (
         "type0", "widths", "default_w", "to_unicode",
-        "codespace", "cid_chars", "cid_ranges", "ucs2", "charmap",
+        "codespace", "cid_chars", "cid_ranges", "ucs2", "tounicode_only",
+        "charmap",
     )
 
     def __init__(self):
@@ -757,6 +760,12 @@ class _Font:
         self.cid_chars: dict[int, int] | None = None
         self.cid_ranges: list[tuple[int, int, int]] = []
         self.ucs2 = False
+        # raw-charset predefined CMap (GBK-EUC-H, B5pc-H, ...) rescued by
+        # the font's own /ToUnicode: codes decode ONLY through ToUnicode
+        # (keyed by code); an uncovered code raises — Adobe registry
+        # tables are not reproducible from scratch, so silent garbling
+        # is never an option (-> needs_prechunk triage)
+        self.tounicode_only = False
         # simple-font code→char overrides (named encodings, Differences
         # glyph names, ToUnicode); None = raw latin-1
         self.charmap: dict[int, str] | None = None
@@ -787,7 +796,7 @@ class _Font:
     def _cid(self, code: int) -> int | None:
         """code → CID.  None when unmappable (predefined UCS-2 without
         registry tables, or an embedded CMap with no entry)."""
-        if self.ucs2:
+        if self.ucs2 or self.tounicode_only:
             return None
         if self.cid_chars is None and not self.cid_ranges:
             return code  # Identity
@@ -819,6 +828,12 @@ class _Font:
                 # Identity); UCS-2 encodings carry the code point directly
                 if code in self.to_unicode:
                     parts.append(self.to_unicode[code])
+                elif self.tounicode_only:
+                    raise ValueError(
+                        f"code 0x{code:X} of a raw-charset predefined CMap "
+                        "not covered by /ToUnicode — registry tables "
+                        "required"
+                    )
                 elif self.ucs2:
                     parts.append(_safe_chr(code))
                 else:
@@ -883,6 +898,23 @@ def _parse_w_array(src: bytes) -> dict[int, float]:
     return out
 
 
+def _parse_codespace(stream: bytes) -> list[tuple[int, int, int]]:
+    """begincodespacerange sections of any CMap program →
+    [(n_bytes, lo, hi)]; the hex-digit count of the low bound fixes the
+    byte width.  Empty list when the CMap declares none."""
+    codespace: list[tuple[int, int, int]] = []
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange",
+                         stream, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                              m.group(1)):
+            lo_h, hi_h = pm.group(1), pm.group(2)
+            nb = (len(lo_h) + 1) // 2
+            if nb < 1 or nb > 4:
+                raise ValueError("CMap codespace width outside 1-4 bytes")
+            codespace.append((nb, int(lo_h, 16), int(hi_h, 16)))
+    return codespace
+
+
 def _parse_tounicode(stream: bytes) -> dict[int, str]:
     """ToUnicode CMap → {cid: str}: bfchar pairs and bfrange runs
     (contiguous and array-destination forms)."""
@@ -939,16 +971,7 @@ def _parse_cid_cmap(
         raise ValueError(
             f"embedded CMap uses unsupported base {um.group(1).decode('latin-1')!r}"
         )
-    codespace: list[tuple[int, int, int]] = []
-    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange",
-                         stream, re.S):
-        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
-                              m.group(1)):
-            lo_h, hi_h = pm.group(1), pm.group(2)
-            nb = (len(lo_h) + 1) // 2
-            if nb < 1 or nb > 4:
-                raise ValueError("CMap codespace width outside 1-4 bytes")
-            codespace.append((nb, int(lo_h, 16), int(hi_h, 16)))
+    codespace = _parse_codespace(stream)
     cid_chars: dict[int, int] = {}
     for m in re.finditer(rb"begincidchar(.*?)endcidchar", stream, re.S):
         for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s+(\d+)", m.group(1)):
@@ -1134,10 +1157,33 @@ def _load_font(objects: dict[int, bytes], body: bytes) -> _Font:
             elif _UCS2_CMAP_RE.search(name):
                 f.ucs2 = True  # code = UCS-2 code point; widths via /DW
             else:
-                raise ValueError(
-                    f"Type0 predefined encoding {name.decode('latin-1')!r}"
-                    " not supported (needs Adobe registry tables)"
+                # raw-charset predefined CMap (GBK-EUC-H, B5pc-H, …):
+                # the code→CID map needs Adobe registry tables, which
+                # can't honestly be reproduced from scratch — but many
+                # real CJK files carry a /ToUnicode alongside, and
+                # ToUnicode is keyed by character CODE, so TEXT (this
+                # kernel's product) extracts without any registry.  The
+                # codespace comes from the ToUnicode CMap's own
+                # codespacerange (real generators mirror the encoding's
+                # ranges there); widths fall back to /DW.  Without a
+                # usable /ToUnicode the file still triages honestly.
+                tu = _ref(h, b"ToUnicode")
+                payload = (
+                    _stream_payload(objects[tu], objects)
+                    if tu is not None and tu in objects else None
                 )
+                if payload and _parse_tounicode(payload):
+                    f.tounicode_only = True
+                    cs = _parse_codespace(payload)
+                    if cs:
+                        f.codespace = cs
+                else:
+                    raise ValueError(
+                        f"Type0 predefined encoding "
+                        f"{name.decode('latin-1')!r} not supported "
+                        "(needs Adobe registry tables, and no /ToUnicode "
+                        "to fall back on)"
+                    )
         else:
             enc = _ref(h, b"Encoding")
             if enc is None or enc not in objects:

@@ -97,12 +97,12 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 42, "error": 1, "needs_prechunk": 1,
+    assert statuses == {"ok": 43, "error": 1, "needs_prechunk": 1,
                         "skipped": 2, "encrypted": 1, "needs_ocr": 1}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 42
+    assert metrics.count() == 43
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -167,10 +167,10 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 42, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 43, "error": 1, "needs_prechunk": 1, "skipped": 2,
         "encrypted": 1, "needs_ocr": 1,
     }
-    assert report["docs_by_status"] == {"ok": 42}
+    assert report["docs_by_status"] == {"ok": 43}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 
@@ -1280,3 +1280,42 @@ def test_media_job_end_to_end(spark, tmp_path):
     assert summary["images"]["decoded"] == 4
     assert summary["audio"] == {"rows": 1, "decoded": 1}
     assert summary["video"]["rows"] == 2 and summary["video"]["decoded"] == 2
+
+
+def test_pdf_gbk_tounicode_fallback():
+    """Raw-charset predefined CMap (GBK-EUC-H) + /ToUnicode: text
+    extracts through the font's own ToUnicode (codespace from its
+    codespacerange, variable 1/2-byte codes) without Adobe registry
+    tables; the SAME file minus its ToUnicode stays an honest triage;
+    a code the ToUnicode does not cover raises (never mojibake)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import build_pdf, cjk_text
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+
+    text = cjk_text(11)
+    pdf = build_pdf(11, text, compress=True, font_mode="gbk")
+    blocks = pdf_to_blocks(pdf)
+    got = "".join(b["text"].replace(" ", "") for b in blocks)
+    for ch in set(text.replace(" ", "")):
+        assert ch in got
+    # title (18pt) classifies as heading over the 10pt body downstream
+    assert {round(b["font_size"]) for b in blocks} == {10, 18}
+
+    # no /ToUnicode → needs_prechunk triage, not extraction
+    stripped = pdf.replace(b"/ToUnicode 101 0 R ", b"")
+    row = route_file("/x/doc_11.pdf", stripped)
+    assert row["ingest_status"] == "needs_prechunk"
+
+    # a code outside the ToUnicode's coverage raises → needs_prechunk
+    # (replace the title's first 2-byte code with unmapped 0xFDFD in an
+    # uncompressed build, where the content stream's hex is editable)
+    import re
+
+    broken = build_pdf(11, text, compress=False, font_mode="gbk")
+    broken = re.sub(rb"<([0-9A-Fa-f]{4})", rb"<FDFD", broken, count=1)
+    row = route_file("/x/doc_11b.pdf", broken)
+    assert row["ingest_status"] == "needs_prechunk"
+    assert "not covered" in row["ingest_error"] or "registry" in row["ingest_error"]

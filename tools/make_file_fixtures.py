@@ -472,18 +472,22 @@ def _pdf_escape(s: str) -> str:
 
 
 def _pdf_text_block(
-    x: float, y_top: float, size: int, lines: list[str], hex_digits: int = 0
+    x: float, y_top: float, size: int, lines: list[str], hex_digits: int = 0,
+    encode_char=None,
 ) -> str:
     """One BT..ET block: absolute Td to the first baseline, T* steps.
     ``hex_digits`` > 0 shows text as hex-string codes of that width:
     4 for 2-byte CIDs (Type0 Identity-H / UCS-2), 2 for 1-byte codes
-    (embedded-CMap ASCII codespace)."""
+    (embedded-CMap ASCII codespace).  ``encode_char`` overrides the
+    per-char hex mapping entirely (variable-width raw-charset codes)."""
     y_baseline = PAGE_H - y_top - size
     ops = [f"BT /F1 {size} Tf {PDF_LEADING} TL {x} {y_baseline} Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append("T*")
-        if hex_digits:
+        if encode_char is not None:
+            ops.append("<" + "".join(encode_char(c) for c in line) + "> Tj")
+        elif hex_digits:
             ops.append(
                 "<" + "".join(f"{ord(c):0{hex_digits}X}" for c in line)
                 + "> Tj"
@@ -565,11 +569,30 @@ def build_pdf(
     import zlib
 
     hex_digits = {"type0": 4, "ucs2": 4, "cmap": 2}.get(font_mode, 0)
+    encode_char = None
+    if font_mode == "gbk":
+        # synthetic raw-charset code assignment in GBK-EUC shape:
+        # 1-byte ASCII (0x20-0x7E as-is), 2-byte CJK rows 0xB0A1.. —
+        # the file's OWN /ToUnicode is the only map back to text,
+        # exactly the class the registry-free fallback targets
+        gbk_codes: dict[str, int] = {}
+        nxt = 0xB0A1
+        for c in sorted({c for c in text}):
+            if ord(c) < 0x7F:
+                gbk_codes[c] = ord(c)
+                continue
+            gbk_codes[c] = nxt
+            nxt = nxt + 1 if (nxt & 0xFF) < 0xFE else (nxt & 0xFF00) + 0x1A1
+
+        def encode_char(c, _m=gbk_codes):
+            code = _m[c]
+            return f"{code:02X}" if code < 0x100 else f"{code:04X}"
     words = _words(text)
     pages_ops: dict[int, list[str]] = {}
     title = " ".join(words[:HEAD_WORDS])
     pages_ops[0] = [
-        _pdf_text_block(PDF_LEFT_X, 40, PDF_TITLE_SIZE, [title], hex_digits)
+        _pdf_text_block(PDF_LEFT_X, 40, PDF_TITLE_SIZE, [title], hex_digits,
+                        encode_char)
     ]
     if with_image:
         # unit square scaled 512x37 at (50, 730): top-down y 75..112,
@@ -583,7 +606,7 @@ def build_pdf(
         y_top = PDF_TOP_Y + row * PDF_ROW_PITCH
         pages_ops.setdefault(page, []).append(
             _pdf_text_block(x, y_top, PDF_BODY_SIZE, _wrap_words(chunk),
-                            hex_digits)
+                            hex_digits, encode_char)
         )
 
     n_pages = len(pages_ops)
@@ -630,6 +653,37 @@ def build_pdf(
             b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
             b"1 beginbfrange\n" + bf + b"\nendbfrange\nend\n"
         )
+        objs[101] = (
+            f"<< /Length {len(cmap)} >>".encode()
+            + b"\nstream\n" + cmap + b"\nendstream"
+        )
+    elif font_mode == "gbk":
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+            b"/Encoding /GBK-EUC-H /DescendantFonts [100 0 R] "
+            b"/ToUnicode 101 0 R >>"
+        )
+        objs[100] = (
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont "
+            b"/STSong-Light /DW 1000 >>"
+        )
+        bfchars = [
+            f"<{code:02X}> <{ord(c):04X}>" if code < 0x100
+            else f"<{code:04X}> <{ord(c):04X}>"
+            for c, code in sorted(gbk_codes.items(), key=lambda kv: kv[1])
+        ]
+        blocks = []
+        for i in range(0, len(bfchars), 100):  # CMap spec: <=100/block
+            chunk_bf = bfchars[i:i + 100]
+            blocks.append(
+                f"{len(chunk_bf)} beginbfchar\n"
+                + "\n".join(chunk_bf) + "\nendbfchar\n"
+            )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "2 begincodespacerange\n<00> <80>\n<A1A1> <FEFE>\n"
+            "endcodespacerange\n" + "".join(blocks) + "end\n"
+        ).encode("ascii")
         objs[101] = (
             f"<< /Length {len(cmap)} >>".encode()
             + b"\nstream\n" + cmap + b"\nendstream"
@@ -1240,6 +1294,14 @@ def build_corpus() -> None:
     with open(os.path.join(FIXTURES, f"doc_{cjk_id}.pdf"), "wb") as fh:
         fh.write(build_pdf(cjk_id, cjk_text(cjk_id), compress=True,
                            font_mode="ucs2"))
+
+    # raw-charset predefined CMap (GBK-EUC-H) rescued by the font's own
+    # /ToUnicode — the registry-free CJK fallback; a pure raw-charset
+    # file (no ToUnicode) still triages needs_prechunk (unit-tested)
+    gbk_id = docx_ids[22]
+    with open(os.path.join(FIXTURES, f"doc_{gbk_id}.pdf"), "wb") as fh:
+        fh.write(build_pdf(gbk_id, cjk_text(gbk_id + 1), compress=True,
+                           font_mode="gbk"))
 
     # encrypted PDFs with an EMPTY user password (owner-restricted, the
     # class every viewer opens silently): RC4-128 and AES-256/R6 — both
