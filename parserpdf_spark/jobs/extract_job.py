@@ -49,6 +49,10 @@ def main(argv=None, spark=None) -> int:
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--cores", default=None,
                     help="local[N] cores; omit under spark-submit")
+    ap.add_argument("--ocr", action="store_true",
+                    help="run the deterministic OCR tier over needs_ocr "
+                         "PDFs in raw-file input dirs (the reference's "
+                         "force_ocr knob)")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
 
@@ -110,7 +114,7 @@ def main(argv=None, spark=None) -> int:
         from parserpdf_spark.sources.scans import scan_files
 
         files = scan_files(spark, args.input, args.glob, with_content=True)
-        bridged = files_to_docs(files).persist()
+        bridged = files_to_docs(files, ocr=args.ocr).persist()
         ingest_report = {
             r["ingest_status"]: r["n"]
             for r in bridged.groupBy("ingest_status")

@@ -6,7 +6,8 @@ set (``converters/extraction_converter.py:111-114`` →
 ``converters/pdf_to_md.py:159``); this engine triages such files
 ``needs_ocr`` and surfaces their page images through the media bridge.
 This module closes the loop: a from-scratch optical recognizer for the
-uppercase typewriter set, built on classic template correlation —
+fixed-pitch matrix-font set (A-Z a-z 0-9 + punctuation,
+case-preserving), built on classic template correlation —
 
 1. **Binarize** (fixed mid-gray threshold; pages are near-bilevel
    scans by construction).
@@ -27,8 +28,8 @@ uppercase typewriter set, built on classic template correlation —
    photographs and noise must not transcribe as garbage letters.
 
 The atlas is a from-scratch 5x7 monospace bitmap font (the classic
-LED/LCD-matrix letterforms, public shapes) covering A-Z 0-9 and common
-punctuation; ``render_text`` rasterizes with it, so fixture ground
+LED/LCD-matrix letterforms, public shapes) covering A-Z a-z 0-9 and
+common punctuation; ``render_text`` rasterizes with it, so fixture ground
 truth is knowable exactly and the whole loop (render → this repo's
 JPEG encoder → PDF → triage → decode → OCR) is bit-deterministic.
 
@@ -103,6 +104,38 @@ _FONT: list[tuple[str, tuple[int, ...]]] = [
     ("%", (0x19, 0x19, 0x02, 0x04, 0x08, 0x13, 0x13)),
     ("$", (0x04, 0x0F, 0x14, 0x0E, 0x05, 0x1E, 0x04)),
     ("*", (0x00, 0x15, 0x0E, 0x1F, 0x0E, 0x15, 0x00)),
+    # lowercase (classic LED x-height forms, descenders compressed into
+    # the 7-row cell).  Closest cross-case pair is 'I'/'l' at 1 px
+    # (MSE 0.029); recognition stays exact because the TRUE glyph at
+    # the true grid position scores ~0 while any rival carries at least
+    # that 1-px floor — verified by the mixed-case JPEG round-trip
+    # sweep in tests/test_ocr.py (scales 1-3 × q75-92 incl. "Ill1l").
+    ("a", (0x00, 0x00, 0x0E, 0x01, 0x0F, 0x11, 0x0F)),
+    ("b", (0x10, 0x10, 0x16, 0x19, 0x11, 0x11, 0x1E)),
+    ("c", (0x00, 0x00, 0x0E, 0x10, 0x10, 0x11, 0x0E)),
+    ("d", (0x01, 0x01, 0x0D, 0x13, 0x11, 0x11, 0x0F)),
+    ("e", (0x00, 0x00, 0x0E, 0x11, 0x1F, 0x10, 0x0E)),
+    ("f", (0x06, 0x09, 0x08, 0x1C, 0x08, 0x08, 0x08)),
+    ("g", (0x00, 0x00, 0x0F, 0x11, 0x0F, 0x01, 0x0E)),
+    ("h", (0x10, 0x10, 0x16, 0x19, 0x11, 0x11, 0x11)),
+    ("i", (0x04, 0x00, 0x0C, 0x04, 0x04, 0x04, 0x0E)),
+    ("j", (0x02, 0x00, 0x06, 0x02, 0x02, 0x12, 0x0C)),
+    ("k", (0x10, 0x10, 0x12, 0x14, 0x18, 0x14, 0x12)),
+    ("l", (0x0C, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E)),
+    ("m", (0x00, 0x00, 0x1A, 0x15, 0x15, 0x11, 0x11)),
+    ("n", (0x00, 0x00, 0x16, 0x19, 0x11, 0x11, 0x11)),
+    ("o", (0x00, 0x00, 0x0E, 0x11, 0x11, 0x11, 0x0E)),
+    ("p", (0x00, 0x00, 0x1E, 0x11, 0x1E, 0x10, 0x10)),
+    ("q", (0x00, 0x00, 0x0D, 0x13, 0x0F, 0x01, 0x01)),
+    ("r", (0x00, 0x00, 0x16, 0x19, 0x10, 0x10, 0x10)),
+    ("s", (0x00, 0x00, 0x0E, 0x10, 0x0E, 0x01, 0x1E)),
+    ("t", (0x08, 0x08, 0x1C, 0x08, 0x08, 0x09, 0x06)),
+    ("u", (0x00, 0x00, 0x11, 0x11, 0x11, 0x13, 0x0D)),
+    ("v", (0x00, 0x00, 0x11, 0x11, 0x11, 0x0A, 0x04)),
+    ("w", (0x00, 0x00, 0x11, 0x11, 0x15, 0x15, 0x0A)),
+    ("x", (0x00, 0x00, 0x11, 0x0A, 0x04, 0x0A, 0x11)),
+    ("y", (0x00, 0x00, 0x11, 0x11, 0x0F, 0x01, 0x0E)),
+    ("z", (0x00, 0x00, 0x1F, 0x02, 0x04, 0x08, 0x1F)),
 ]
 CHARSET = "".join(ch for ch, _ in _FONT)
 
@@ -131,7 +164,7 @@ _TEMPLATES = np.stack([_glyph_array(rows) for _, rows in _FONT])
 def render_text(lines: list[str], scale: int = 2,
                 margin: int | None = None) -> np.ndarray:
     """Rasterize lines with the atlas → HxW uint8 grayscale page
-    (255 background, 0 ink).  Input is uppercased; characters outside
+    (255 background, 0 ink).  Case-preserving; characters outside
     the atlas render as spaces.  The fixture ground truth is therefore
     exactly ``[render_normalize(l) for l in lines]``."""
     if scale < 1:
@@ -161,11 +194,11 @@ def render_text(lines: list[str], scale: int = 2,
 
 
 def render_normalize(line: str) -> str:
-    """The text a rendered line round-trips to: uppercase, atlas-only
-    (anything else becomes a space), trailing spaces stripped."""
-    up = line.upper()
+    """The text a rendered line round-trips to: case-preserving,
+    atlas-only (anything else becomes a space), trailing spaces
+    stripped."""
     return "".join(
-        ch if (ch == " " or ch in CHARSET) else " " for ch in up
+        ch if (ch == " " or ch in CHARSET) else " " for ch in line
     ).rstrip()
 
 
@@ -185,15 +218,17 @@ def _bands(ink_rows: np.ndarray) -> list[tuple[int, int]]:
 
 
 def _classify_cells(gray: np.ndarray, top: int, x0: int, n_cells: int,
-                    scale: int) -> tuple[list[str], int, int]:
+                    scale: int) -> tuple[list[str], int, int, float]:
     """Classify the fixed-pitch cells of one line → (per-cell chars,
-    n_ink_cells, n_rejects).  ``gray`` is float ink intensity in [0,1];
-    rejected and empty cells classify as ``" "``."""
+    n_ink_cells, n_rejects, summed best-MSE over ink cells).  ``gray``
+    is float ink intensity in [0,1]; rejected and empty cells classify
+    as ``" "``."""
     h, w = gray.shape
     gh, gw = GLYPH_H * scale, GLYPH_W * scale
     chars: list[str] = []
     n_ink = 0
     n_reject = 0
+    mse_sum = 0.0
     for k in range(n_cells):
         x = x0 + k * ADVANCE * scale
         best = None  # (mse, atlas_idx)
@@ -218,12 +253,13 @@ def _classify_cells(gray: np.ndarray, top: int, x0: int, n_cells: int,
             chars.append(" ")
             continue
         n_ink += 1
+        mse_sum += best[0] if best is not None else 1.0
         if best is None or best[0] > _REJECT_MSE:
             n_reject += 1
             chars.append(" ")
         else:
             chars.append(_FONT[best[1]][0])
-    return chars, n_ink, n_reject
+    return chars, n_ink, n_reject, mse_sum
 
 
 def _grid_phase(ink: np.ndarray, c0: int, c1: int, scale: int) -> int:
@@ -284,24 +320,51 @@ def _scan_page(img: np.ndarray) -> tuple[list[dict], int, int]:
         a = a.mean(axis=2)
     gray = (255.0 - a.astype(np.float32)) / 255.0  # ink intensity
     ink = gray > 0.5
+    img_h = gray.shape[0]
     records: list[dict] = []
     total_ink = 0
     total_reject = 0
     for top, bot in _bands(ink.any(axis=1)):
-        scale = max(1, round((bot - top) / GLYPH_H))
         band = ink[top:bot]
-        gap_px = int(_SEG_SPLIT_ADVANCES * ADVANCE * scale)
-        for c0, c1 in _col_runs(band.any(axis=0), gap_px):
-            x0 = _grid_phase(band, c0, c1, scale)
-            n_cells = max(1, -(-(c1 + 1 - x0) // (ADVANCE * scale)))
-            cells, n_ink, n_reject = _classify_cells(
-                gray, top, x0, n_cells, scale)
-            total_ink += n_ink
-            total_reject += n_reject
-            records.append({
-                "top": top, "bot": bot, "scale": scale, "x0": x0,
-                "cells": cells,
-            })
+        # the ink band under-measures the glyph cell when a line has no
+        # full-height characters: an all-x-height line ("gamma") spans
+        # only rows 2-6 of its cells.  Try both hypotheses — full-height
+        # (scale = h/7, cell top = ink top) and x-height-only
+        # (scale = h/5, cell top 2 glyph rows above the ink) — and keep
+        # the one whose ink cells match the atlas best (mean MSE; the
+        # true alignment scores near 0, a mis-scaled grid does not).
+        h_px = bot - top
+        hyps = [(max(1, round(h_px / GLYPH_H)), top)]
+        s_x = max(1, round(h_px / 5))
+        if (s_x, top - 2 * s_x) != hyps[0] and top - 2 * s_x >= -1:
+            hyps.append((s_x, top - 2 * s_x))
+        best = None  # (mean_mse, -scale, records, ink, reject)
+        for scale, y0 in hyps:
+            gap_px = int(_SEG_SPLIT_ADVANCES * ADVANCE * scale)
+            recs: list[dict] = []
+            ink_n = reject_n = 0
+            mse_total = 0.0
+            for c0, c1 in _col_runs(band.any(axis=0), gap_px):
+                x0 = _grid_phase(band, c0, c1, scale)
+                n_cells = max(1, -(-(c1 + 1 - x0) // (ADVANCE * scale)))
+                cells, n_ink, n_reject, mse_sum = _classify_cells(
+                    gray, y0, x0, n_cells, scale)
+                ink_n += n_ink
+                reject_n += n_reject
+                mse_total += mse_sum
+                recs.append({
+                    "top": max(y0, 0),
+                    "bot": min(y0 + GLYPH_H * scale, img_h),
+                    "scale": scale, "x0": x0, "cells": cells,
+                })
+            mean_mse = mse_total / ink_n if ink_n else float("inf")
+            cand = (round(mean_mse, 6), -scale, recs, ink_n, reject_n)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        _, _, recs, ink_n, reject_n = best
+        records.extend(recs)
+        total_ink += ink_n
+        total_reject += reject_n
     return records, total_ink, total_reject
 
 

@@ -207,17 +207,21 @@ def minhash_lsh_pairs(
     At high thresholds the 16×4 banding's recall is ≈1, so output
     matches exact all-pairs Jaccard.
 
-    ``persist_candidates`` (default on) caches the candidate-pair list:
-    the verify plan references it TWICE (candidate-doc derivation + the
-    pair semi-join), and Spark's exchange reuse does not de-duplicate
-    the subtree under AQE — unpersisted, the whole signature+band
-    pipeline (the expensive part) executes twice per action (measured
-    ~1.7× end-to-end at sf0.1).  The pair list is near-dup-sized (tiny
-    relative to the corpus — candidates at threshold-grade banding are
-    actual near-dups plus rare false positives), so caching it is the
-    same contract a production run uses when it writes pairs to a table
-    between stages; pass False to keep the plan fully lazy."""
-    candidates = lsh_candidate_pairs(minhash_signatures(docs, n=n, text_col=text_col))
+    ``persist_candidates`` (default on) caches the two DataFrames the
+    plan references twice: the SIGNATURES (both sides of the band-bucket
+    self-join) and the CANDIDATE PAIRS (candidate-doc derivation + the
+    pair semi-join in the verify) — Spark's exchange reuse does not
+    de-duplicate either subtree under AQE, so unpersisted, the
+    signature pipeline (the expensive part) executes up to 3× per
+    action (measured ~1.7× end-to-end at sf0.1 from the candidate
+    double-reference alone).  Both are the persisted-intermediate
+    contract a production run uses anyway (signatures ≈ 0.5% of corpus
+    bytes; pairs are near-dup-sized); pass False to keep the plan fully
+    lazy."""
+    signatures = minhash_signatures(docs, n=n, text_col=text_col)
+    if persist_candidates:
+        signatures = signatures.persist()
+    candidates = lsh_candidate_pairs(signatures)
     if persist_candidates:
         candidates = candidates.persist()
     return jaccard_pairs(
@@ -400,6 +404,7 @@ def embedding_dup_pairs_bucketed(
     n_bits: int = SRP_BITS,
     num_bands: int = SRP_BANDS,
     seed: int = 7,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """The 100 TB embedding-dedup path: SRP-LSH banding → candidate
     pairs inside shared band buckets → exact cosine verify.
@@ -415,6 +420,13 @@ def embedding_dup_pairs_bucketed(
     sigs = srp_signatures(
         embeddings, id_col=id_col, vec_col=vec_col, n_bits=n_bits, seed=seed
     )
+    if persist_signatures:
+        # the band-bucket self-join references the signature subtree on
+        # both sides, and the Arrow-batch matmul stage would run twice
+        # (exchange reuse does not fire under AQE); signatures are 12
+        # bytes/vector — the persisted-intermediate a production job
+        # writes to a table anyway
+        sigs = sigs.persist()
     chunks = [
         F.struct(
             F.lit(band).alias("band"),

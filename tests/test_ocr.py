@@ -57,6 +57,19 @@ def test_round_trip_crisp(scale):
     assert ocr_image(render_text(lines, scale=scale)) == _expected(lines)
 
 
+def test_round_trip_mixed_case_torture():
+    """Case is PRESERVED, and the tightest atlas pairs (I/l at 1 px,
+    1/l, c/o, h/n) recognize correctly through JPEG at every scale."""
+    lines = ["Illinois Ill Bill still will I1l l1I",
+             "The quick brown fox jumps over the lazy dog",
+             "co ch no ho Co Ch No Ho"]
+    for scale in (1, 2, 3):
+        page = render_text(lines, scale=scale)
+        _, _, pix = decode_jpeg_baseline(
+            encode_jpeg_baseline(page, quality=85))
+        assert ocr_image(pix) == _expected(lines), scale
+
+
 def test_round_trip_full_charset():
     # every atlas glyph, spread over lines, survives a crisp round trip
     lines = [CHARSET[i:i + 12] for i in range(0, len(CHARSET), 12)]
@@ -154,7 +167,7 @@ def test_reject_mse_calibration():
 def test_blocks_group_paragraphs_and_split_on_blank_line():
     page = render_text(["one two", "three four", "", "five six"], scale=2)
     blocks = ocr_page_blocks(page)
-    assert [b["text"] for b in blocks] == ["ONE TWO THREE FOUR", "FIVE SIX"]
+    assert [b["text"] for b in blocks] == ["one two three four", "five six"]
     assert blocks[0]["scale"] == 2
     assert blocks[0]["bot"] <= blocks[1]["top"]
 
@@ -165,7 +178,7 @@ def test_blocks_separate_heading_scale_from_body():
     page = _composite([(head, 10, 10), (body, 50, 10)])
     blocks = ocr_page_blocks(page)
     assert [(b["scale"], b["text"]) for b in blocks] == [
-        (3, "TITLE"), (2, "BODY LINE ONE BODY LINE TWO")]
+        (3, "Title"), (2, "body line one body line two")]
 
 
 def test_two_columns_off_grid_phase():
@@ -177,7 +190,7 @@ def test_two_columns_off_grid_phase():
     page = _composite([(left, 10, 10), (right, 10, 10 + left.shape[1] + 41)])
     blocks = ocr_page_blocks(page)
     assert [b["text"] for b in blocks] == [
-        "ALPHA BETA GAMMA DELTA", "ONE TWO THREE FOUR"]
+        "alpha beta gamma delta", "one two three four"]
     assert blocks[0]["x1"] < blocks[1]["x0"]
 
 
@@ -221,7 +234,7 @@ def test_ocr_route_recognizes_scanned_pdf():
     sizes = sorted({b["font_size"] for b in blocks})
     assert sizes == [14.0, 21.0]
     texts = " ".join(b["text"] for b in blocks)
-    assert "THE FAST KEY" in texts
+    assert "the fast key" in texts
 
 
 def test_ocr_route_multipage_order():
@@ -281,3 +294,35 @@ def test_ocr_extraction_matches_ground_truth_text():
     got = " ".join(b["text"] for b in blocks).split()
     want = [render_normalize(w) for w in words[:33]]
     assert got == want
+
+
+def test_extract_job_ocr_flag(spark, tmp_path):
+    """The spark-submit entry's --ocr knob (the reference's force_ocr):
+    over the scanned corpus, the default run extracts only the plain
+    html file while --ocr additionally extracts the recognizable scans;
+    the photograph stays needs_ocr and the corrupt scan errors in both."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from parserpdf_spark.jobs.extract_job import main
+
+    def run(flags):
+        out = str(tmp_path / ("jobout_" + "_".join(flags or ["plain"])))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                ["--input", OCR_CORPUS, "--output", out, "--chunks", "2"]
+                + flags,
+                spark=spark,
+            )
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    plain = run([])
+    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 6}
+    with_ocr = run(["--ocr"])
+    assert with_ocr["files_by_ingest_status"] == {
+        "ok": 5, "needs_ocr": 1, "error": 1,
+    }
+    assert with_ocr["docs_by_status"] == {"ok": 5}
