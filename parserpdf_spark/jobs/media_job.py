@@ -77,6 +77,9 @@ def main(argv=None, spark=None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--ocr", action="store_true",
+                    help="additionally OCR every image payload "
+                         "(text-in-images table image_ocr/)")
     args = ap.parse_args(argv)
 
     own_spark = spark is None
@@ -109,6 +112,18 @@ def main(argv=None, spark=None) -> int:
             summary[name] = {
                 "rows": out.count(),
                 "decoded": out.filter(F.col("decode_ok")).count(),
+            }
+        if args.ocr:
+            from parserpdf_spark.operators.multimodal import ocr_from_media
+
+            dest = os.path.join(args.output, "image_ocr")
+            ocr_from_media(image_rows(files)).write.mode(
+                "overwrite").parquet(dest)
+            out = spark.read.parquet(dest)
+            summary["image_ocr"] = {
+                "rows": out.count(),
+                "recognized": out.filter(
+                    F.col("ocr_status") == "ok").count(),
             }
         print(json.dumps(summary))
         return 0

@@ -264,12 +264,19 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via
     band join on 4 × 15-bit chunks (a pair within distance 3 must agree
-    on ≥1 chunk — pigeonhole), then exact popcount verify."""
+    on ≥1 chunk — pigeonhole), then exact popcount verify.
+
+    Like the other LSH operators, the chunk self-join references the
+    signature subtree (the 60-agg-column groupBy) on both sides, so the
+    signatures persist by default (12 bytes/doc)."""
     sig = simhash(docs, text_col=text_col)
+    if persist_signatures:
+        sig = sig.persist()
     chunks = []
     for c in range(4):
         chunks.append(

@@ -417,6 +417,47 @@ def decode_features_real(media: DataFrame) -> DataFrame:
     )
 
 
+def ocr_from_media(media: DataFrame) -> DataFrame:
+    """Text-in-images over a (doc_id, media_ref, payload) table: decode
+    any supported image format (magic dispatch) and run the
+    deterministic glyph-template recognizer (kernels/ocr.py) — the
+    training-pipeline "extract text from figures/screenshots" operator,
+    composing the codec fleet with the OCR tier.
+
+    Keep-with-status per row: ``ocr_status`` is ``"ok"`` (text
+    recognized, in ``ocr_text``), ``"no_text"`` (decoded fine but the
+    confidence gate found no glyph content — photographs must not
+    transcribe), or ``"decode_error"``.  Same narrow Arrow-batched
+    mapInPandas shape as the feature stages — zero shuffle."""
+    from parserpdf_spark.kernels.ocr import ocr_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "ocr_status": [],
+                   "ocr_text": []}
+            for doc_id, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                try:
+                    _, _, arr = decode_image_auto(bytes(payload))
+                except ValueError:
+                    out["ocr_status"].append("decode_error")
+                    out["ocr_text"].append(None)
+                    continue
+                text = ocr_image(arr)
+                out["ocr_status"].append("ok" if text else "no_text")
+                out["ocr_text"].append(text or None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id string, media_ref string, ocr_status string, "
+               "ocr_text string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real decode tier, audio: from-scratch WAV/PCM codec (stdlib + numpy)
 # ---------------------------------------------------------------------------

@@ -90,17 +90,21 @@ def run_incremental_file_ingestion(
     output_dir: str,
     checkpoint_dir: str,
     glob: str = "*",
+    ocr: bool = False,
 ):
     """Watch a directory of real files: scan → files_to_docs bridge →
     extraction, incrementally.  ``availableNow`` drains what's present
     and stops; rerunning after more files land processes only the new
     ones (checkpoint-tracked).  Non-ok files are simply absent from the
     extraction output — run the batch ``file_ingest_gate`` view for the
-    keep-with-status report."""
+    keep-with-status report.  ``ocr=True`` runs the deterministic OCR
+    tier over needs_ocr PDFs (the reference's force_ocr knob) — the
+    bridge is a stateless mapInPandas, so it composes with the stream
+    unchanged."""
     from parserpdf_spark.sources.files import files_to_docs, ingested_docs
 
     files = stream_files(spark, input_dir, glob=glob)
-    docs = ingested_docs(files_to_docs(files))
+    docs = ingested_docs(files_to_docs(files, ocr=ocr))
     query = (
         extract_combined(docs)
         .writeStream.outputMode("append")

@@ -326,3 +326,95 @@ def test_extract_job_ocr_flag(spark, tmp_path):
         "ok": 5, "needs_ocr": 1, "error": 1,
     }
     assert with_ocr["docs_by_status"] == {"ok": 5}
+
+
+def test_streaming_ingestion_with_ocr(spark, tmp_path):
+    """Structured-streaming ingestion with the OCR tier on: a scanned
+    PDF dropped into the watched dir extracts its recognized text
+    exactly as the batch path does (the bridge is stateless, so the
+    golden pins both)."""
+    import shutil
+
+    from parserpdf_spark.operators.extract import split_combined
+    from parserpdf_spark.streaming.ingest import run_incremental_file_ingestion
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    shutil.copy(os.path.join(OCR_CORPUS, "scan_0.pdf"), watch)
+    shutil.copy(os.path.join(OCR_CORPUS, "scan_3.pdf"), watch)  # photo
+    out = str(tmp_path / "out")
+    run_incremental_file_ingestion(
+        spark, str(watch), out, str(tmp_path / "ck"), ocr=True
+    )
+    extracted, metrics = split_combined(spark.read.parquet(out))
+    assert [r["doc_id"] for r in metrics.collect()] == ["scan_0"]
+    golden = spark.read.parquet(
+        os.path.join(REPO, "goldens", "extract_ocr.parquet")
+    ).filter("doc_id = 'scan_0'")
+    got = {tuple(r) for r in extracted.select(*golden.columns).collect()}
+    want = {tuple(r) for r in golden.collect()}
+    assert got == want
+
+
+def test_ocr_from_media_multiformat(spark):
+    """Text-in-images across the codec fleet: the SAME rendered page
+    encoded as PNG, BMP and JPEG OCRs identically; a noise image is
+    no_text; garbage bytes are decode_error — keep-with-status."""
+    import numpy as np
+
+    from parserpdf_spark.kernels.png import encode_png
+    from parserpdf_spark.operators.multimodal import encode_bmp, ocr_from_media
+
+    page = render_text(["Figure 3: loss vs step", "see table 2"], scale=2)
+    rgb = np.stack([page, page, page], axis=-1)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+    rows = [
+        ("d1", "img.png", bytearray(encode_png(rgb))),
+        ("d1", "img.bmp", bytearray(encode_bmp(rgb))),
+        ("d2", "img.jpg", bytearray(encode_jpeg_baseline(rgb, quality=90))),
+        ("d3", "noise.png", bytearray(encode_png(noise))),
+        ("d4", "junk.bin", bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    got = {
+        (r["doc_id"], r["media_ref"]): (r["ocr_status"], r["ocr_text"])
+        for r in ocr_from_media(media).collect()
+    }
+    want_text = "Figure 3: loss vs step\nsee table 2"
+    assert got[("d1", "img.png")] == ("ok", want_text)
+    assert got[("d1", "img.bmp")] == ("ok", want_text)
+    assert got[("d2", "img.jpg")] == ("ok", want_text)
+    assert got[("d3", "noise.png")] == ("no_text", None)
+    assert got[("d4", "junk.bin")] == ("decode_error", None)
+
+
+def test_media_job_ocr_table(spark, tmp_path):
+    """media_job --ocr writes the image_ocr table: scanned-PDF page
+    images OCR to their known text, non-text images report no_text."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from parserpdf_spark.jobs.media_job import main
+
+    out = str(tmp_path / "media")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--input", OCR_CORPUS, "--output", out, "--ocr"],
+                  spark=spark)
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["image_ocr"]["rows"] == summary["images"]["rows"] >= 7
+    # the photograph page (scan_3) and the truncated payload must not
+    # count as recognized
+    assert 0 < summary["image_ocr"]["recognized"] <= summary["image_ocr"]["rows"] - 2
+    rows = {
+        (r["doc_id"], r["ocr_status"])
+        for r in spark.read.parquet(out + "/image_ocr").collect()
+    }
+    assert ("scan_3", "no_text") in rows
+    assert ("scan_4", "decode_error") in rows
+    assert ("scan_0", "ok") in rows
