@@ -915,9 +915,18 @@ def _parse_codespace(stream: bytes) -> list[tuple[int, int, int]]:
     return codespace
 
 
+# total ToUnicode entries cap: real subset fonts carry at most tens of
+# thousands of mappings; a crafted bfrange <00000000> <FFFFFFFF> must
+# not expand to 4G dict entries (the cidrange parser keeps ranges for
+# the same reason — bfranges must expand, so they get a budget instead)
+_TOUNICODE_MAX_ENTRIES = 1 << 20
+
+
 def _parse_tounicode(stream: bytes) -> dict[int, str]:
     """ToUnicode CMap → {cid: str}: bfchar pairs and bfrange runs
-    (contiguous and array-destination forms)."""
+    (contiguous and array-destination forms).  Raises ValueError when
+    the expansion budget is exceeded (hostile ranges → triage, never
+    an OOM'd task)."""
     out: dict[int, str] = {}
 
     def _chars(hexs: bytes) -> str:
@@ -937,6 +946,11 @@ def _parse_tounicode(stream: bytes) -> dict[int, str]:
             body,
         ):
             lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if hi - lo + 1 + len(out) > _TOUNICODE_MAX_ENTRIES:
+                raise ValueError(
+                    "ToUnicode bfrange expansion exceeds the "
+                    f"{_TOUNICODE_MAX_ENTRIES}-entry budget"
+                )
             if rm.group(4) is not None:  # contiguous destination
                 base = rm.group(4)
                 base_str = _chars(base)

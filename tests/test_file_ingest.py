@@ -1319,3 +1319,20 @@ def test_pdf_gbk_tounicode_fallback():
     row = route_file("/x/doc_11b.pdf", broken)
     assert row["ingest_status"] == "needs_prechunk"
     assert "not covered" in row["ingest_error"] or "registry" in row["ingest_error"]
+
+
+def test_tounicode_bfrange_expansion_bounded():
+    """A crafted bfrange <00000000> <FFFFFFFF> must raise (→ triage),
+    never expand to a 4G-entry dict and OOM the task."""
+    import pytest
+
+    from parserpdf_spark.kernels.pdf_binary import _parse_tounicode
+
+    hostile = (
+        b"1 beginbfrange\n<00000000> <FFFFFFFF> <0020>\nendbfrange\n"
+    )
+    with pytest.raises(ValueError, match="budget"):
+        _parse_tounicode(hostile)
+    # a normal-sized range still parses
+    ok = _parse_tounicode(b"1 beginbfrange\n<20> <7E> <0020>\nendbfrange\n")
+    assert ok[0x20] == " " and ok[0x7E] == chr(0x20 + 0x7E - 0x20)
