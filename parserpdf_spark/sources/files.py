@@ -237,6 +237,12 @@ def ocr_route_file(path: str, content: bytes) -> dict[str, Any]:
                 out_blocks.append(blk)  # non-JPEG figure: keep as-is
                 continue
             w, h, pixels = decode_jpeg_baseline(bytes(payload))
+            x0b, ytop, x1b, ybot = blk["bbox"]
+            if x1b <= x0b or ybot <= ytop:
+                # degenerate (zero-area) placement: no geometry to map
+                # text into — keep the figure block
+                out_blocks.append(blk)
+                continue
             paras = ocr_page_blocks(pixels)
             if not paras:
                 out_blocks.append(blk)  # photograph/noise: stays a figure
@@ -244,7 +250,6 @@ def ocr_route_file(path: str, content: bytes) -> dict[str, Any]:
             recognized += 1
             # image pixel (row r, col c) → page point via the placement
             # bbox [X0, Ytop, X1, Ybot] (top-down y, like all blocks)
-            x0b, ytop, x1b, ybot = blk["bbox"]
             sx = (x1b - x0b) / w
             sy = (ybot - ytop) / h
             for p in paras:

@@ -418,3 +418,30 @@ def test_media_job_ocr_table(spark, tmp_path):
     assert ("scan_3", "no_text") in rows
     assert ("scan_4", "decode_error") in rows
     assert ("scan_0", "ok") in rows
+
+
+def test_ocr_route_degenerate_placement_keeps_figure():
+    """A zero-area image placement (cm with zero height) has no page
+    geometry to map text into: the block stays a figure and the file
+    stays needs_ocr rather than emitting collapsed-bbox text."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import build_scanned_pdf_pages
+
+    from parserpdf_spark.kernels.jpeg import encode_jpeg_baseline
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    page = render_text(["hello world"], scale=2)
+    jp = encode_jpeg_baseline(page, quality=90)
+    pdf = build_scanned_pdf_pages([(jp, page.shape[1], page.shape[0], True)])
+    h_str = str(page.shape[0]).encode()
+    degenerate = pdf.replace(
+        b"q %d 0 0 %s 20 20 cm" % (page.shape[1], h_str),
+        b"q %d 0 0 %s 20 20 cm" % (page.shape[1], b"0" * len(h_str)),
+    )
+    assert degenerate != pdf
+    row = ocr_route_file("/x/flat.pdf", degenerate)
+    assert row["ingest_status"] == "needs_ocr"  # nothing recognized
+    # the intact file recognizes normally
+    assert ocr_route_file("/x/ok.pdf", pdf)["ingest_status"] == "ok"
