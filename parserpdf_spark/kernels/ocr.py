@@ -340,6 +340,9 @@ def _scan_page(img: np.ndarray) -> tuple[list[dict], int, int]:
             hyps.append((s_x, top - 2 * s_x))
         best = None  # (mean_mse, -scale, records, ink, reject)
         for scale, y0 in hyps:
+            if best is not None and best[0] < 0.02:
+                break  # first hypothesis already a clean match
+
             gap_px = int(_SEG_SPLIT_ADVANCES * ADVANCE * scale)
             recs: list[dict] = []
             ink_n = reject_n = 0
