@@ -124,6 +124,16 @@ def test_file_ingestion_plan_has_no_exchange(spark):
     assert node_count(plan, "Exchange") == 0
     assert "MapInPandas" in plan and "MapInArrow" in plan
 
+    # the OCR tier keeps the same narrow shape: the recognizer runs
+    # inside the bridge's mapInPandas, nothing shuffles
+    ocr_fixtures = os.path.join(os.path.dirname(fixtures), "ocr_corpus")
+    ocr_files = scan_files(spark, ocr_fixtures, "*", with_content=True)
+    plan = plan_of(
+        extract_combined(ingested_docs(files_to_docs(ocr_files, ocr=True)))
+    )
+    assert node_count(plan, "Exchange") == 0
+    assert "MapInPandas" in plan and "MapInArrow" in plan
+
 
 def test_bucketed_embedding_dedup_never_cartesian(spark, sf_med):
     """The SRP scale path must stay an equi-join on (band, key) — a
