@@ -144,9 +144,16 @@ CHARSET = "".join(ch for ch, _ in _FONT)
 # and JPEG-q85 glyph cells pass with wide margin while photographic /
 # noise cells fail (tests/test_ocr.py pins both sides)
 _REJECT_MSE = 0.18
-# a page where more than this fraction of non-space cells is rejected
-# yields no text at all — garbage must not transcribe
+# a band where more than this fraction of non-space cells is rejected
+# contributes no text — garbage must not transcribe
 _MAX_REJECT_FRAC = 0.30
+# band-level confidence: a line band whose chosen hypothesis still has
+# a mean best-template MSE above this is non-glyph content (photo strip
+# inside an otherwise-textual scan) and is dropped wholesale.  Measured
+# margins: crisp/JPEG-q75 text bands score <= 0.0008 even at scale 1;
+# noise bands that happen to classify without rejects score >= 0.17
+# (tests/test_ocr.py pins both sides)
+_BAND_REJECT_MSE = 0.02
 
 
 def _glyph_array(rows: tuple[int, ...]) -> np.ndarray:
@@ -364,7 +371,16 @@ def _scan_page(img: np.ndarray) -> tuple[list[dict], int, int]:
             cand = (round(mean_mse, 6), -scale, recs, ink_n, reject_n)
             if best is None or cand[:2] < best[:2]:
                 best = cand
-        _, _, recs, ink_n, reject_n = best
+        mean_mse, _, recs, ink_n, reject_n = best
+        # band-level gate: a band with no confident glyph content (photo
+        # strip, noise region) contributes nothing — the rest of the
+        # page still extracts (mixed scans keep their text)
+        if (
+            ink_n == 0
+            or reject_n > _MAX_REJECT_FRAC * ink_n
+            or mean_mse > _BAND_REJECT_MSE
+        ):
+            continue
         records.extend(recs)
         total_ink += ink_n
         total_reject += reject_n
@@ -372,6 +388,8 @@ def _scan_page(img: np.ndarray) -> tuple[list[dict], int, int]:
 
 
 def _page_rejected(total_ink: int, total_reject: int) -> bool:
+    # per-band gates already dropped unconfident bands; a page is
+    # rejected when nothing survived them
     return total_ink == 0 or total_reject > _MAX_REJECT_FRAC * total_ink
 
 

@@ -445,3 +445,20 @@ def test_ocr_route_degenerate_placement_keeps_figure():
     assert row["ingest_status"] == "needs_ocr"  # nothing recognized
     # the intact file recognizes normally
     assert ocr_route_file("/x/ok.pdf", pdf)["ingest_status"] == "ok"
+
+
+def test_mixed_page_keeps_text_drops_noise_band():
+    """A scan mixing a text region with a photo/noise strip extracts the
+    text and drops the strip (band-level confidence gate) — neither
+    wholesale rejection nor garbage transcription."""
+    text = render_text(["hello mixed world", "second line here"], scale=2)
+    rng = np.random.RandomState(7)
+    canvas = np.full((text.shape[0] + 120, max(text.shape[1], 300)), 255,
+                     np.uint8)
+    canvas[:text.shape[0], :text.shape[1]] = text
+    canvas[text.shape[0] + 10:, :300] = rng.randint(
+        0, 255, (110, 300), dtype=np.uint8)
+    assert ocr_image(canvas) == "hello mixed world\nsecond line here"
+    blocks = ocr_page_blocks(canvas)
+    assert [b["text"] for b in blocks] == [
+        "hello mixed world second line here"]
