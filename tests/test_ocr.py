@@ -320,12 +320,12 @@ def test_extract_job_ocr_flag(spark, tmp_path):
         return json.loads(buf.getvalue().strip().splitlines()[-1])
 
     plain = run([])
-    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 6}
+    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 7}
     with_ocr = run(["--ocr"])
     assert with_ocr["files_by_ingest_status"] == {
-        "ok": 5, "needs_ocr": 1, "error": 1,
+        "ok": 6, "needs_ocr": 1, "error": 1,
     }
-    assert with_ocr["docs_by_status"] == {"ok": 5}
+    assert with_ocr["docs_by_status"] == {"ok": 6}
 
 
 def test_streaming_ingestion_with_ocr(spark, tmp_path):
@@ -407,7 +407,7 @@ def test_media_job_ocr_table(spark, tmp_path):
                   spark=spark)
     assert rc == 0
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert summary["image_ocr"]["rows"] == summary["images"]["rows"] >= 7
+    assert summary["image_ocr"]["rows"] == summary["images"]["rows"] >= 8
     # the photograph page (scan_3) and the truncated payload must not
     # count as recognized
     assert 0 < summary["image_ocr"]["recognized"] <= summary["image_ocr"]["rows"] - 2

@@ -1196,6 +1196,23 @@ def build_ocr_corpus() -> None:
         fh.write(build_scanned_pdf_pages(
             [rgb_jpeg(page5, quality=85, subsample=True)]))
 
+    # scan_6: MIXED content — a text region above a photographic strip
+    # in ONE page image.  The band-level confidence gate must keep the
+    # text and drop the strip (neither wholesale rejection nor garbage)
+    w6 = _words(by_id[ids[5]])
+    text6 = frag([" ".join(w6[:3])], 3)
+    body6 = frag(_wrap_words(w6[3:15], 4), 2)
+    h_txt = 70 + body6.shape[0]
+    width6 = max(text6.shape[1], body6.shape[1], 260) + 28
+    page6 = np.full((h_txt + 130, width6), 255, np.uint8)
+    page6[16:16 + text6.shape[0], 16:16 + text6.shape[1]] = text6
+    page6[70:70 + body6.shape[0], 16:16 + body6.shape[1]] = body6
+    strip_rng = np.random.RandomState(6)
+    page6[h_txt + 20:h_txt + 120, 10:width6 - 10] = strip_rng.randint(
+        0, 255, (100, width6 - 20), dtype=np.uint8)
+    with open(os.path.join(OCR_FIXTURES, "scan_6.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages([gray_jpeg(page6, quality=88)]))
+
     # a plain HTML file in the same directory: the OCR router must
     # delegate non-needs_ocr inputs to the ordinary route unchanged
     html_id = ids[4]
