@@ -1730,6 +1730,22 @@ def _image_payload(objects: dict[int, bytes], num: int) -> bytes:
     return _stream_payload(objects[num], objects) or b""
 
 
+def _image_meta(objects: dict[int, bytes], num: int) -> dict:
+    """Decode-relevant attributes from an image XObject header, attached
+    to its media row: present only for 8-bit DeviceGray/DeviceRGB — the
+    raw-pixel classes a downstream consumer (the OCR tier) can interpret
+    when the payload is NOT a self-describing JPEG (FlateDecode scans)."""
+    h = _head(objects.get(num, b""))
+    wm = re.search(rb"/Width\s+(\d+)", h)
+    hm = re.search(rb"/Height\s+(\d+)", h)
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", h)
+    cm = re.search(rb"/ColorSpace\s*/(DeviceGray|DeviceRGB)\b", h)
+    if not (wm and hm and bm and cm) or int(bm.group(1)) != 8:
+        return {}
+    return {"width": int(wm.group(1)), "height": int(hm.group(1)),
+            "gray": cm.group(1) == b"DeviceGray"}
+
+
 # ---------------------------------------------------------------------------
 # Entry points
 # ---------------------------------------------------------------------------
@@ -1842,7 +1858,8 @@ def pdf_to_blocks_and_media(
         media.extend(inline_media)
         for ref, obj_num in used:
             media.append({"media_ref": ref,
-                          "payload": _image_payload(objects, obj_num)})
+                          "payload": _image_payload(objects, obj_num),
+                          **_image_meta(objects, obj_num)})
 
         # form XObjects: their content contributes text/images at the
         # Do-time CTM — dropping it would be silent text loss.  Only
@@ -1897,7 +1914,8 @@ def pdf_to_blocks_and_media(
             media.extend(f_inline_media)
             for ref, obj_num in f_used:
                 media.append({"media_ref": ref,
-                              "payload": _image_payload(objects, obj_num)})
+                              "payload": _image_payload(objects, obj_num),
+                              **_image_meta(objects, obj_num)})
             n_text_blocks += len(f_text)
         n_text_blocks += len(text_blocks)
     if n_text_blocks == 0 and require_text:

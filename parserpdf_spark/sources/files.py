@@ -227,16 +227,31 @@ def ocr_route_file(path: str, content: bytes) -> dict[str, Any]:
         img_blocks, media = pdf_to_blocks_and_media(
             bytes(content), require_text=False
         )
-        payloads = {m["media_ref"]: m["payload"] for m in media}
+        payloads = {m["media_ref"]: m for m in media}
         out_blocks: list[dict] = []
         recognized = 0
         for blk in img_blocks:
             ref = blk.get("media_ref")
-            payload = payloads.get(ref) if ref else None
-            if payload is None or not bytes(payload)[:2] == b"\xff\xd8":
-                out_blocks.append(blk)  # non-JPEG figure: keep as-is
+            m = payloads.get(ref) if ref else None
+            data = bytes(m["payload"]) if m and m.get("payload") else b""
+            if data[:2] == b"\xff\xd8":
+                w, h, pixels = decode_jpeg_baseline(data)
+            elif m and m.get("width"):
+                # raw-pixel scan (FlateDecode et al. — already passed
+                # through the filter pipeline): reconstruct from the
+                # XObject's own geometry
+                import numpy as np
+
+                w, h = m["width"], m["height"]
+                n = w * h * (1 if m["gray"] else 3)
+                if len(data) < n or not (0 < w * h <= 64_000_000):
+                    out_blocks.append(blk)  # truncated/absurd: figure
+                    continue
+                shape = (h, w) if m["gray"] else (h, w, 3)
+                pixels = np.frombuffer(data[:n], np.uint8).reshape(shape)
+            else:
+                out_blocks.append(blk)  # undecodable figure: keep as-is
                 continue
-            w, h, pixels = decode_jpeg_baseline(bytes(payload))
             x0b, ytop, x1b, ybot = blk["bbox"]
             if x1b <= x0b or ybot <= ytop:
                 # degenerate (zero-area) placement: no geometry to map

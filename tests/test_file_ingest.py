@@ -388,7 +388,12 @@ def test_pdf_embedded_image_spans_and_payload():
     blocks, media = pdf_to_blocks_and_media(data)
     img = [b for b in blocks if b.get("media_ref")]
     assert len(img) == 1 and img[0]["media_ref"] == "_page_0_Im1_obj102.jpeg"
-    assert media == [{"media_ref": "_page_0_Im1_obj102.jpeg", "payload": EMBEDDED_JPEG}]
+    assert media == [{
+        "media_ref": "_page_0_Im1_obj102.jpeg", "payload": EMBEDDED_JPEG,
+        # decode-relevant XObject geometry rides along for consumers
+        # that get a non-self-describing payload (the OCR tier)
+        "width": 64, "height": 48, "gray": False,
+    }]
 
     # routed spans carry the ref in the span's media_ref column
     routed = route_file("/x/doc_31.pdf", data)

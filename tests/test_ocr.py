@@ -320,12 +320,12 @@ def test_extract_job_ocr_flag(spark, tmp_path):
         return json.loads(buf.getvalue().strip().splitlines()[-1])
 
     plain = run([])
-    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 7}
+    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 8}
     with_ocr = run(["--ocr"])
     assert with_ocr["files_by_ingest_status"] == {
-        "ok": 6, "needs_ocr": 1, "error": 1,
+        "ok": 7, "needs_ocr": 1, "error": 1,
     }
-    assert with_ocr["docs_by_status"] == {"ok": 6}
+    assert with_ocr["docs_by_status"] == {"ok": 7}
 
 
 def test_streaming_ingestion_with_ocr(spark, tmp_path):
@@ -462,3 +462,19 @@ def test_mixed_page_keeps_text_drops_noise_band():
     blocks = ocr_page_blocks(canvas)
     assert [b["text"] for b in blocks] == [
         "hello mixed world second line here"]
+
+
+def test_ocr_flate_raw_pixel_scan():
+    """The lossless scanner class: a FlateDecode DeviceGray page image
+    (no self-describing codec stream) reconstructs from the XObject's
+    own geometry and OCRs exactly — crisp pixels, perfect text."""
+    from parserpdf_spark.sources.files import ocr_route_file, route_file
+
+    data = _fixture("scan_7.pdf")
+    assert route_file("/x/scan_7.pdf", data)["ingest_status"] == "needs_ocr"
+    row = ocr_route_file("/x/scan_7.pdf", data)
+    assert row["ingest_status"] == "ok"
+    import json
+
+    blocks = [json.loads(s["text"]) for s in row["spans"]]
+    assert sorted({b["font_size"] for b in blocks}) == [14.0, 21.0]

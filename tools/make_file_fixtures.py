@@ -1059,16 +1059,22 @@ def _ocr_composite(frags: list, pad: int = 12):
     return canvas
 
 
-def build_scanned_pdf_pages(pages: list[tuple[bytes, int, int, bool]]) -> bytes:
-    """N scanned pages [(jpeg_bytes, w_px, h_px, gray)] → a text-layer-
-    absent PDF, one full-page DCTDecode image XObject per page placed
-    1:1 (1 px = 1 pt) at a fixed margin — the triage path classifies it
-    ``needs_ocr`` and the OCR tier recovers the text."""
+def build_scanned_pdf_pages(pages: list[tuple]) -> bytes:
+    """N scanned pages → a text-layer-absent PDF, one full-page image
+    XObject per page placed 1:1 (1 px = 1 pt) at a fixed margin — the
+    triage path classifies it ``needs_ocr`` and the OCR tier recovers
+    the text.  A page is ``(jpeg_bytes, w, h, gray)`` (DCTDecode) or
+    ``(raw_pixel_bytes, w, h, gray, "flate")`` (FlateDecode — the
+    lossless scanner class)."""
+    import zlib
+
     margin = 20
     objs: dict[int, bytes] = {}
     kids: list[int] = []
     nxt = 4
-    for idx, (jp, w, h, gray) in enumerate(pages):
+    for idx, page_spec in enumerate(pages):
+        jp, w, h, gray = page_spec[:4]
+        codec = page_spec[4] if len(page_spec) > 4 else "jpeg"
         pg, ct, im = nxt, nxt + 1, 100 + idx
         nxt += 2
         kids.append(pg)
@@ -1082,13 +1088,18 @@ def build_scanned_pdf_pages(pages: list[tuple[bytes, int, int, bool]]) -> bytes:
         objs[ct] = (f"<< /Length {len(content)} >>".encode()
                     + b"\nstream\n" + content + b"\nendstream")
         cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        if codec == "flate":
+            payload = zlib.compress(jp)
+            filt = b" /Filter /FlateDecode "
+        else:
+            payload = jp
+            filt = b" /Filter /DCTDecode "
         objs[im] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             .encode()
-            + b"/BitsPerComponent 8 /ColorSpace " + cs
-            + b" /Filter /DCTDecode "
-            + f"/Length {len(jp)} >>".encode()
-            + b"\nstream\n" + jp + b"\nendstream"
+            + b"/BitsPerComponent 8 /ColorSpace " + cs + filt
+            + f"/Length {len(payload)} >>".encode()
+            + b"\nstream\n" + payload + b"\nendstream"
         )
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (b"<< /Type /Pages /Kids ["
@@ -1212,6 +1223,20 @@ def build_ocr_corpus() -> None:
         0, 255, (100, width6 - 20), dtype=np.uint8)
     with open(os.path.join(OCR_FIXTURES, "scan_6.pdf"), "wb") as fh:
         fh.write(build_scanned_pdf_pages([gray_jpeg(page6, quality=88)]))
+
+    # scan_7: FlateDecode raw-pixel page image (the lossless scanner
+    # class) — crisp pixels, recovered via the XObject's own geometry
+    # rather than a self-describing codec stream
+    w7 = _words(by_id[ids[6]])
+    page7 = _ocr_composite([
+        (frag([" ".join(w7[:4])], 3), 14, 14),
+        (frag(_wrap_words(w7[4:16], 4), 2), 62, 14),
+    ])
+    with open(os.path.join(OCR_FIXTURES, "scan_7.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages([
+            (page7.tobytes(), page7.shape[1], page7.shape[0], True,
+             "flate"),
+        ]))
 
     # a plain HTML file in the same directory: the OCR router must
     # delegate non-needs_ocr inputs to the ordinary route unchanged
