@@ -1740,10 +1740,14 @@ def _image_meta(objects: dict[int, bytes], num: int) -> dict:
     hm = re.search(rb"/Height\s+(\d+)", h)
     bm = re.search(rb"/BitsPerComponent\s+(\d+)", h)
     cm = re.search(rb"/ColorSpace\s*/(DeviceGray|DeviceRGB)\b", h)
-    if not (wm and hm and bm and cm) or int(bm.group(1)) != 8:
+    if not (wm and hm and bm and cm):
+        return {}
+    bpc = int(bm.group(1))
+    gray = cm.group(1) == b"DeviceGray"
+    if bpc not in (8, 1) or (bpc == 1 and not gray):
         return {}
     return {"width": int(wm.group(1)), "height": int(hm.group(1)),
-            "gray": cm.group(1) == b"DeviceGray"}
+            "gray": gray, "bpc": bpc}
 
 
 # ---------------------------------------------------------------------------

@@ -239,16 +239,31 @@ def ocr_route_file(path: str, content: bytes) -> dict[str, Any]:
             elif m and m.get("width"):
                 # raw-pixel scan (FlateDecode et al. — already passed
                 # through the filter pipeline): reconstruct from the
-                # XObject's own geometry
+                # XObject's own geometry.  bpc 1 is the classic bilevel
+                # scanner format: rows pack MSB-first, padded to byte
+                # boundaries; DeviceGray 1 = white.
                 import numpy as np
 
                 w, h = m["width"], m["height"]
-                n = w * h * (1 if m["gray"] else 3)
-                if len(data) < n or not (0 < w * h <= 64_000_000):
-                    out_blocks.append(blk)  # truncated/absurd: figure
+                if not (0 < w * h <= 64_000_000):
+                    out_blocks.append(blk)  # absurd dims: keep figure
                     continue
-                shape = (h, w) if m["gray"] else (h, w, 3)
-                pixels = np.frombuffer(data[:n], np.uint8).reshape(shape)
+                if m.get("bpc") == 1:
+                    stride = (w + 7) // 8
+                    n = stride * h
+                    if len(data) < n:
+                        out_blocks.append(blk)
+                        continue
+                    rows = np.frombuffer(data[:n], np.uint8)
+                    bits = np.unpackbits(rows.reshape(h, stride), axis=1)
+                    pixels = bits[:, :w] * np.uint8(255)
+                else:
+                    n = w * h * (1 if m["gray"] else 3)
+                    if len(data) < n:
+                        out_blocks.append(blk)  # truncated: keep figure
+                        continue
+                    shape = (h, w) if m["gray"] else (h, w, 3)
+                    pixels = np.frombuffer(data[:n], np.uint8).reshape(shape)
             else:
                 out_blocks.append(blk)  # undecodable figure: keep as-is
                 continue

@@ -320,12 +320,12 @@ def test_extract_job_ocr_flag(spark, tmp_path):
         return json.loads(buf.getvalue().strip().splitlines()[-1])
 
     plain = run([])
-    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 8}
+    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 9}
     with_ocr = run(["--ocr"])
     assert with_ocr["files_by_ingest_status"] == {
-        "ok": 7, "needs_ocr": 1, "error": 1,
+        "ok": 8, "needs_ocr": 1, "error": 1,
     }
-    assert with_ocr["docs_by_status"] == {"ok": 7}
+    assert with_ocr["docs_by_status"] == {"ok": 8}
 
 
 def test_streaming_ingestion_with_ocr(spark, tmp_path):
@@ -462,6 +462,20 @@ def test_mixed_page_keeps_text_drops_noise_band():
     blocks = ocr_page_blocks(canvas)
     assert [b["text"] for b in blocks] == [
         "hello mixed world second line here"]
+
+
+def test_ocr_bilevel_scan():
+    """1-bit bilevel FlateDecode (the classic scanner format, CCITT's
+    pixel layout without CCITT's historical code tables): bits unpack
+    MSB-first with byte-padded rows and OCR exactly."""
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    row = ocr_route_file("/x/scan_8.pdf", _fixture("scan_8.pdf"))
+    assert row["ingest_status"] == "ok"
+    import json
+
+    blocks = [json.loads(s["text"]) for s in row["spans"]]
+    assert sorted({b["font_size"] for b in blocks}) == [14.0, 21.0]
 
 
 def test_ocr_flate_raw_pixel_scan():

@@ -1088,16 +1088,31 @@ def build_scanned_pdf_pages(pages: list[tuple]) -> bytes:
         objs[ct] = (f"<< /Length {len(content)} >>".encode()
                     + b"\nstream\n" + content + b"\nendstream")
         cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        bpc = 8
         if codec == "flate":
             payload = zlib.compress(jp)
             filt = b" /Filter /FlateDecode "
+        elif codec == "flate1":
+            # bilevel: threshold the grayscale page, pack bits MSB-first
+            # with byte-padded rows (1 = white per DeviceGray)
+            import numpy as np
+
+            arr = np.frombuffer(jp, np.uint8).reshape(h, w)
+            bits = (arr > 127).astype(np.uint8)
+            stride = (w + 7) // 8
+            padded = np.zeros((h, stride * 8), np.uint8)
+            padded[:, :w] = bits
+            packed = np.packbits(padded, axis=1).tobytes()
+            payload = zlib.compress(packed)
+            filt = b" /Filter /FlateDecode "
+            bpc = 1
         else:
             payload = jp
             filt = b" /Filter /DCTDecode "
         objs[im] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             .encode()
-            + b"/BitsPerComponent 8 /ColorSpace " + cs + filt
+            + f"/BitsPerComponent {bpc} /ColorSpace ".encode() + cs + filt
             + f"/Length {len(payload)} >>".encode()
             + b"\nstream\n" + payload + b"\nendstream"
         )
@@ -1236,6 +1251,20 @@ def build_ocr_corpus() -> None:
         fh.write(build_scanned_pdf_pages([
             (page7.tobytes(), page7.shape[1], page7.shape[0], True,
              "flate"),
+        ]))
+
+    # scan_8: 1-bit BILEVEL FlateDecode page (the classic scanner
+    # output: CCITT's pixel layout without CCITT's historical tables) —
+    # width chosen off a byte boundary to exercise row padding
+    w8 = _words(by_id[ids[7]])
+    page8 = _ocr_composite([
+        (frag([" ".join(w8[:2])], 3), 14, 14),
+        (frag(_wrap_words(w8[2:12], 5), 2), 60, 14),
+    ], pad=17)  # odd pad -> width % 8 != 0 with high likelihood
+    with open(os.path.join(OCR_FIXTURES, "scan_8.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages([
+            (page8.tobytes(), page8.shape[1], page8.shape[0], True,
+             "flate1"),
         ]))
 
     # a plain HTML file in the same directory: the OCR router must
