@@ -392,7 +392,7 @@ def test_pdf_embedded_image_spans_and_payload():
         "media_ref": "_page_0_Im1_obj102.jpeg", "payload": EMBEDDED_JPEG,
         # decode-relevant XObject geometry rides along for consumers
         # that get a non-self-describing payload (the OCR tier)
-        "width": 64, "height": 48, "gray": False,
+        "width": 64, "height": 48, "gray": False, "bpc": 8,
     }]
 
     # routed spans carry the ref in the span's media_ref column
