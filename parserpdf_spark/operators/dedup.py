@@ -626,9 +626,10 @@ def connected_components_star(
             .localCheckpoint()
         )
         unchanged = (
-            small.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(small).limit(1).count() == 0
-        )
+            small.exceptAll(edges)
+            .unionByName(edges.exceptAll(small))
+            .limit(1).count() == 0
+        )  # one symmetric-difference job, not two
         edges = small
         if unchanged:
             converged = True
