@@ -195,7 +195,9 @@ def ocr_route_file(path: str, content: bytes) -> dict[str, Any]:
     → ``converters/pdf_to_md.py:159``); this is the from-scratch
     equivalent.  Files the plain router triages ``needs_ocr`` re-enter
     through ``pdf_to_blocks_and_media(require_text=False)``: each page
-    image decodes through the repo's own JPEG codec, the glyph-template
+    image decodes through the repo's own JPEG codec (DCTDecode) or
+    reconstructs from the XObject's own geometry (FlateDecode raw
+    pixels, 8-bit gray/RGB and 1-bit bilevel), the glyph-template
     recognizer (kernels/ocr.py) rebuilds paragraph blocks with pixel
     geometry, and the pixel coordinates map through the image's
     placement bbox into page points — so the ordinary layout kernel
