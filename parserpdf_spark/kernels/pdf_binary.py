@@ -1772,6 +1772,41 @@ class PdfUnsupported(ValueError):
         self.category = category
 
 
+
+def _page_rotation(objects: dict[int, bytes], num: int) -> int:
+    """Effective /Rotate of a page (inheritable through /Parent,
+    ISO 32000 7.7.3.4): normalized to 0/90/180/270; anything else
+    (spec violation) reads as 0."""
+    seen: set[int] = set()
+    cur: int | None = num
+    while cur is not None and cur not in seen:
+        seen.add(cur)
+        h = _head(objects.get(cur, b""))
+        rm = re.search(rb"/Rotate\s+(-?\d+)", h)
+        if rm:
+            r = int(rm.group(1)) % 360
+            return r if r in (90, 180, 270) else 0
+        cur = _ref(h, b"Parent")
+    return 0
+
+
+def _rotate_bbox(bbox: list, rot: int, w: float, h: float) -> list:
+    """Transform a top-down bbox from user space into the VISUAL page
+    space a viewer shows after the clockwise /Rotate: reading order and
+    column clustering must follow what a reader sees, not how the
+    writer happened to lay the page out."""
+    x0, t0, x1, t1 = bbox
+    if rot == 90:
+        out = [h - t1, x0, h - t0, x1]
+    elif rot == 180:
+        out = [w - x1, h - t1, w - x0, h - t0]
+    elif rot == 270:
+        out = [t0, w - x1, t1, w - x0]
+    else:
+        return bbox
+    return [round(v, 2) for v in out]
+
+
 def pdf_to_blocks_and_media(
     data: bytes,
     require_text: bool = True,
@@ -1846,9 +1881,13 @@ def pdf_to_blocks_and_media(
         head = _head(objects[num])
         content = _content_stream(objects, head, num)
         mb = re.search(
-            rb"/MediaBox\s*\[\s*[\d.-]+\s+[\d.-]+\s+[\d.-]+\s+([\d.]+)", head
+            rb"/MediaBox\s*\[\s*[\d.-]+\s+[\d.-]+\s+([\d.]+)\s+([\d.]+)",
+            head,
         )
-        page_h = float(mb.group(1)) if mb else 842.0
+        page_w = float(mb.group(1)) if mb else 612.0
+        page_h = float(mb.group(2)) if mb else 842.0
+        rotate = _page_rotation(objects, num)
+        page_start = len(blocks)
         resources = _resources(objects, num)
         fonts = _page_fonts(objects, resources)
         content, inline = _extract_inline_images(content, page_no)
@@ -1922,6 +1961,14 @@ def pdf_to_blocks_and_media(
                               **_image_meta(objects, obj_num)})
             n_text_blocks += len(f_text)
         n_text_blocks += len(text_blocks)
+        if rotate:
+            # into VISUAL space: what a viewer shows after the
+            # clockwise /Rotate.  Figure blocks additionally remember
+            # the rotation so the OCR tier can upright their pixels.
+            for b in blocks[page_start:]:
+                b["bbox"] = _rotate_bbox(b["bbox"], rotate, page_w, page_h)
+                if b.get("media_ref"):
+                    b["page_rotate"] = rotate
     if n_text_blocks == 0 and require_text:
         # require_text=False is the OCR-routing mode: a scanned PDF's
         # page images still flow to the media sink, where an OCR fleet

@@ -269,6 +269,15 @@ def ocr_route_file(path: str, content: bytes) -> dict[str, Any]:
             else:
                 out_blocks.append(blk)  # undecodable figure: keep as-is
                 continue
+            rot = int(blk.get("page_rotate") or 0)
+            if rot:
+                # the stored pixels are upright only after the page's
+                # clockwise /Rotate — apply it before recognition; the
+                # bbox is already in visual space
+                import numpy as np
+
+                pixels = np.rot90(pixels, k=-(rot // 90))
+            h, w = pixels.shape[0], pixels.shape[1]
             x0b, ytop, x1b, ybot = blk["bbox"]
             if x1b <= x0b or ybot <= ytop:
                 # degenerate (zero-area) placement: no geometry to map

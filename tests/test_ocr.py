@@ -320,12 +320,12 @@ def test_extract_job_ocr_flag(spark, tmp_path):
         return json.loads(buf.getvalue().strip().splitlines()[-1])
 
     plain = run([])
-    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 9}
+    assert plain["files_by_ingest_status"] == {"ok": 1, "needs_ocr": 10}
     with_ocr = run(["--ocr"])
     assert with_ocr["files_by_ingest_status"] == {
-        "ok": 8, "needs_ocr": 1, "error": 1,
+        "ok": 9, "needs_ocr": 1, "error": 1,
     }
-    assert with_ocr["docs_by_status"] == {"ok": 8}
+    assert with_ocr["docs_by_status"] == {"ok": 9}
 
 
 def test_streaming_ingestion_with_ocr(spark, tmp_path):
@@ -462,6 +462,38 @@ def test_mixed_page_keeps_text_drops_noise_band():
     blocks = ocr_page_blocks(canvas)
     assert [b["text"] for b in blocks] == [
         "hello mixed world second line here"]
+
+
+def test_rotated_page_text_and_scan():
+    """/Rotate support end-to-end: a 180-rotated TEXT page reads in
+    reversed (visual) order; a 90-rotated SCAN uprights its pixels and
+    recognizes exactly (scan_9 fixture rides the driver gate too)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_file_fixtures import build_pdf
+
+    from parserpdf_spark.kernels.pdf_binary import pdf_to_blocks
+    from parserpdf_spark.kernels.pdf_extract import extract_pdf_blocks
+    from parserpdf_spark.sources.files import ocr_route_file
+
+    text = " ".join(f"w{i}" for i in range(40))
+    pdf = build_pdf(1, text, compress=False)
+    rot = pdf.replace(b"/Type /Page /Parent",
+                      b"/Type /Page /Rotate 180 /Parent")
+
+    def spans(data):
+        blocks = pdf_to_blocks(data)
+        return [s["text"] for s in extract_pdf_blocks(
+            [(json.dumps(b), b.get("media_ref")) for b in blocks])]
+
+    assert spans(rot) == list(reversed(spans(pdf)))
+
+    row = ocr_route_file("/x/scan_9.pdf", _fixture("scan_9.pdf"))
+    assert row["ingest_status"] == "ok"
+    blocks = [json.loads(s["text"]) for s in row["spans"]]
+    assert sorted({b["font_size"] for b in blocks}) == [14.0, 21.0]
 
 
 def test_ocr_bilevel_scan():

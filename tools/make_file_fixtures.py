@@ -1059,7 +1059,7 @@ def _ocr_composite(frags: list, pad: int = 12):
     return canvas
 
 
-def build_scanned_pdf_pages(pages: list[tuple]) -> bytes:
+def build_scanned_pdf_pages(pages: list[tuple], rotate: int = 0) -> bytes:
     """N scanned pages → a text-layer-absent PDF, one full-page image
     XObject per page placed 1:1 (1 px = 1 pt) at a fixed margin — the
     triage path classifies it ``needs_ocr`` and the OCR tier recovers
@@ -1079,8 +1079,9 @@ def build_scanned_pdf_pages(pages: list[tuple]) -> bytes:
         nxt += 2
         kids.append(pg)
         content = f"q {w} 0 0 {h} {margin} {margin} cm /Im1 Do Q".encode()
+        rot = f"/Rotate {rotate} " if rotate else ""
         objs[pg] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox "
+            f"<< /Type /Page {rot}/Parent 2 0 R /MediaBox "
             f"[0 0 {w + 2 * margin} {h + 2 * margin}] "
             f"/Resources << /XObject << /Im1 {im} 0 R >> >> "
             f"/Contents {ct} 0 R >>"
@@ -1266,6 +1267,20 @@ def build_ocr_corpus() -> None:
             (page8.tobytes(), page8.shape[1], page8.shape[0], True,
              "flate1"),
         ]))
+
+    # scan_9: a ROTATED scan (/Rotate 90; the stored image is the
+    # upright page rotated CCW, as scanners emit landscape pages) —
+    # the OCR tier must upright the pixels and map text into the
+    # visual page space
+    w9 = _words(by_id[ids[8]])
+    page9 = _ocr_composite([
+        (frag([" ".join(w9[:3])], 3), 14, 14),
+        (frag(_wrap_words(w9[3:13], 5), 2), 60, 14),
+    ])
+    stored9 = np.ascontiguousarray(np.rot90(page9, 1))
+    with open(os.path.join(OCR_FIXTURES, "scan_9.pdf"), "wb") as fh:
+        fh.write(build_scanned_pdf_pages(
+            [gray_jpeg(stored9, quality=90)], rotate=90))
 
     # a plain HTML file in the same directory: the OCR router must
     # delegate non-needs_ocr inputs to the ordinary route unchanged
