@@ -97,12 +97,12 @@ def test_scan_to_extract_end_to_end(spark):
         r["ingest_status"]: r["n"]
         for r in bridged.groupBy("ingest_status").agg(F.count("*").alias("n")).collect()
     }
-    assert statuses == {"ok": 43, "error": 1, "needs_prechunk": 1,
+    assert statuses == {"ok": 44, "error": 1, "needs_prechunk": 1,
                         "skipped": 2, "encrypted": 1, "needs_ocr": 1}
 
     extracted, metrics = extract_docs(ingested_docs(bridged), persist=True)
     assert metrics.filter(F.col("status") != "ok").count() == 0
-    assert metrics.count() == 43
+    assert metrics.count() == 44
 
     # the distributed path reproduces the committed pure-python golden
     golden = spark.read.parquet(os.path.join(REPO, "goldens", "extract_files.parquet"))
@@ -167,10 +167,10 @@ def test_extract_job_over_raw_files(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["files_by_ingest_status"] == {
-        "ok": 43, "error": 1, "needs_prechunk": 1, "skipped": 2,
+        "ok": 44, "error": 1, "needs_prechunk": 1, "skipped": 2,
         "encrypted": 1, "needs_ocr": 1,
     }
-    assert report["docs_by_status"] == {"ok": 43}
+    assert report["docs_by_status"] == {"ok": 44}
     assert sorted(report["committed_this_run"]) == [0, 1, 2, 3]
 
 

@@ -548,6 +548,7 @@ def build_pdf(
     font_mode: str = "type1",
     with_image: bool = False,
     objstm: bool = False,
+    rotate: int = 0,
 ) -> bytes:
     """A real (minimal, valid-xref) PDF: full-width title + two-column
     body in the synth geometry; Flate-compressed streams on request.
@@ -716,8 +717,10 @@ def build_pdf(
         xobj = (
             b"/XObject << /Im1 102 0 R >> " if with_image and k == 0 else b""
         )
+        rot = f"/Rotate {rotate} " if rotate else ""
         objs[4 + 2 * k] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"<< /Type /Page {rot}/Parent 2 0 R "
+            f"/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
             f"/Resources << /Font << /F1 3 0 R >> ".encode()
             + xobj + b">> "
             + f"/Contents {5 + 2 * k} 0 R >>".encode()
@@ -1380,6 +1383,13 @@ def build_corpus() -> None:
     with open(os.path.join(FIXTURES, f"doc_{cjk_id}.pdf"), "wb") as fh:
         fh.write(build_pdf(cjk_id, cjk_text(cjk_id), compress=True,
                            font_mode="ucs2"))
+
+    # a /Rotate 180 text page: blocks must lay out in VISUAL space, so
+    # the extraction order is the reverse of the unrotated layout
+    rot_id = docx_ids[23]
+    with open(os.path.join(FIXTURES, f"doc_{rot_id}.pdf"), "wb") as fh:
+        fh.write(build_pdf(rot_id, by_id[rot_id], compress=True,
+                           rotate=180))
 
     # raw-charset predefined CMap (GBK-EUC-H) rescued by the font's own
     # /ToUnicode — the registry-free CJK fallback; a pure raw-charset
