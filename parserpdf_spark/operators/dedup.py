@@ -357,7 +357,11 @@ def embedding_dup_pairs(
 
 
 SRP_BITS = 32
-SRP_BANDS = 8  # 8 bands × 4 bits
+SRP_BANDS = 8  # legacy fixed banding (srp_signatures); the scale path
+# derives (bits_per_band, num_bands) from corpus size — see
+# _srp_band_params
+
+SRP_TARGET_MISS = 1e-2  # per-true-pair miss budget AT the threshold
 
 
 def _srp_planes(dim: int, n_bits: int, seed: int):
@@ -365,6 +369,45 @@ def _srp_planes(dim: int, n_bits: int, seed: int):
     import numpy as np
 
     return np.random.default_rng(seed).standard_normal((dim, n_bits))
+
+
+def _srp_band_params(n_vectors: int, threshold: float) -> tuple[int, int]:
+    """Corpus-aware SRP banding: (bits_per_band, num_bands).
+
+    The r5 fixed scheme (8 bands × 4 bits = 16 buckets/band) is bucketed
+    *structurally* but not *parametrically*: a random pair shares a
+    specific 4-bit band key with probability 1/16, so ~half of ALL pairs
+    become candidates once n is large (measured: the sf1.0 bench paid
+    ~1e8 full-cosine verifies — brute force with extra shuffles).
+
+    Fix (the standard LSH sizing):
+    - ``bits_per_band r = clamp(ceil(log2 n) + 1, 8, 24)`` → ≥2n buckets
+      per band, so expected random collisions per band are
+      C(n,2)/2^r ≤ n/4 — Σ|bucket|² stays O(n), at any corpus size.
+    - ``num_bands b = ceil(ln(1/miss) / -ln(1 - p^r))`` with
+      ``p = 1 − arccos(threshold)/π`` (the SRP bit-agreement
+      probability) holds the probability that a TRUE pair at exactly the
+      threshold misses every band below ``SRP_TARGET_MISS`` (1%).
+
+    p_miss arithmetic at threshold 0.95 (p = 0.899):
+      n = 20,010 → r = 16, p^r = 0.182, b = 23 → miss = (1−0.182)^23 ≈ 1%
+      for a pair AT 0.95; at cosine 0.99 (p = 0.955) miss ≈ 3e-7; exact
+      duplicates (cosine 1) have identical signatures — miss = 0, always.
+    Expected random candidates: b · C(n,2)/2^r ≈ 23 · n/4 ≈ 6n — linear.
+
+    False positives are removed by the exact-cosine verify, so widening
+    only trades (bounded, documented) recall on near-threshold pairs for
+    the O(n) candidate set; it can never add wrong output rows.
+    """
+    import math
+
+    n = max(int(n_vectors), 2)
+    r = min(24, max(8, math.ceil(math.log2(n)) + 1))
+    t = min(max(float(threshold), -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    p_band = min(max(p ** r, 1e-12), 1.0 - 1e-12)
+    b = math.ceil(math.log(SRP_TARGET_MISS) / math.log(1.0 - p_band))
+    return r, min(64, max(4, b))
 
 
 def srp_signatures(
@@ -403,13 +446,56 @@ def srp_signatures(
     )
 
 
+def srp_band_keys(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = 16,
+    num_bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, keys: array<long>[num_bands]) — per-band SRP bucket keys.
+
+    One numpy matmul per Arrow batch against ``num_bands ×
+    bits_per_band`` seeded hyperplanes, bits packed band-major into one
+    long key per band (so band widths beyond 64 total bits work — the
+    corpus-aware sizing needs hundreds of projections at 10⁹⁺ vectors).
+    Identical vectors get identical keys in every band by construction.
+    """
+    import pandas as pd
+
+    total_bits = bits_per_band * num_bands
+
+    # NB: no type hints — pd is function-local, so the PySpark type-hint
+    # prober can't resolve the string annotations
+    @F.pandas_udf("array<long>")
+    def keys(vecs):
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        planes = _srp_planes(mat.shape[1], total_bits, seed)
+        bits = (mat @ planes) >= 0.0
+        weights = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
+        packed = (
+            bits.reshape(len(vecs), num_bands, bits_per_band).astype(np.int64)
+            @ weights
+        )
+        return pd.Series(list(packed))
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), keys(F.col(vec_col)).alias("keys")
+    )
+
+
 def embedding_dup_pairs_bucketed(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = SRP_BITS,
-    num_bands: int = SRP_BANDS,
+    n_bits: int | None = None,
+    num_bands: int | None = None,
     seed: int = 7,
     persist_signatures: bool = True,
 ) -> DataFrame:
@@ -417,35 +503,41 @@ def embedding_dup_pairs_bucketed(
     pairs inside shared band buckets → exact cosine verify.
 
     Mirrors the MinHash+LSH shape (:func:`minhash_lsh_pairs`): the join
-    key is (band, 4-bit chunk), so pair cost is Σ|bucket|² per band —
-    never the |corpus|² crossJoin of :func:`embedding_dup_pairs`, which
-    stays as the small-scale baseline / test oracle.  At threshold 0.95
-    (θ ≤ 18.2°) a pair misses all 8×4-bit bands with probability ≈2e-4;
-    exact duplicates can never miss (identical signatures).
+    key is (band, key), so pair cost is Σ|bucket|² per band — never the
+    |corpus|² crossJoin of :func:`embedding_dup_pairs`, which stays as
+    the small-scale baseline / test oracle.
+
+    Band sizing is CORPUS-AWARE by default (``n_bits=num_bands=None``):
+    one cheap ``count()`` of the input sizes the band keys at
+    ``ceil(log2 n) + 1`` bits (≥2n buckets per band → expected random
+    collisions O(n), not O(n²)) and picks the band count that keeps a
+    true pair's miss probability at the threshold under 1% — see
+    :func:`_srp_band_params` for the p_miss arithmetic.  Exact
+    duplicates have identical signatures and can never miss.  Passing
+    explicit ``n_bits``/``num_bands`` keeps the legacy fixed scheme
+    (``n_bits`` total bits split evenly across ``num_bands``).
     """
-    rows = n_bits // num_bands
-    sigs = srp_signatures(
-        embeddings, id_col=id_col, vec_col=vec_col, n_bits=n_bits, seed=seed
+    if n_bits is None and num_bands is None:
+        n = embeddings.count()
+        rows, num_bands = _srp_band_params(n, threshold)
+    else:
+        if num_bands is None:
+            num_bands = SRP_BANDS
+        rows = (n_bits if n_bits is not None else SRP_BITS) // num_bands
+    sigs = srp_band_keys(
+        embeddings, id_col=id_col, vec_col=vec_col,
+        bits_per_band=rows, num_bands=num_bands, seed=seed,
     )
     if persist_signatures:
         # the band-bucket self-join references the signature subtree on
         # both sides, and the Arrow-batch matmul stage would run twice
-        # (exchange reuse does not fire under AQE); signatures are 12
-        # bytes/vector — the persisted-intermediate a production job
-        # writes to a table anyway
+        # (exchange reuse does not fire under AQE); signatures are
+        # 8·num_bands bytes/vector — the persisted-intermediate a
+        # production job writes to a table anyway
         sigs = sigs.persist()
-    chunks = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.shiftright(F.col("sig"), band * rows)
-            .bitwiseAND(F.lit((1 << rows) - 1))
-            .alias("key"),
-        )
-        for band in range(num_bands)
-    ]
     buckets = sigs.select(
-        "id", F.explode(F.array(*chunks)).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        "id", F.posexplode("keys").alias("band", "key")
+    )
     a = buckets.select(F.col("id").alias("id_a"), "band", "key")
     b = buckets.select(F.col("id").alias("id_b"), "band", "key")
     cands = (

@@ -185,6 +185,40 @@ def test_embedding_bucketed_equals_bruteforce_on_near_dups(spark, sf_med):
     assert bucketed == brute
 
 
+def test_srp_corpus_aware_banding_keeps_candidates_linear(spark, sf_med):
+    """r6: the corpus-aware band sizing must spread vectors over ≥2n
+    buckets per band so the candidate-pair count stays O(n) — the r5
+    fixed 4-bit keys (16 buckets/band) made ~half of ALL pairs
+    candidates once n ≫ 16 (the sf1.0 bench measured ~1e8 full-cosine
+    verifies — brute force with extra shuffles)."""
+    from parserpdf_spark.operators.dedup import (
+        _srp_band_params,
+        srp_band_keys,
+    )
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    bits, bands = _srp_band_params(n, 0.95)
+    assert (1 << bits) >= 2 * n  # ≥2n buckets per band
+    buckets = srp_band_keys(
+        emb, bits_per_band=bits, num_bands=bands
+    ).select("id", F.posexplode("keys").alias("band", "key"))
+    sizes = buckets.groupBy("band", "key").count()
+    # candidate pairs per band = Σ C(|bucket|, 2); linear in n means the
+    # total stays a small multiple of n (vs ~n²/2 for the legacy keys)
+    cand = (
+        sizes.select(
+            (F.col("count") * (F.col("count") - 1) / 2).alias("pairs")
+        ).agg(F.sum("pairs")).collect()[0][0]
+    )
+    assert cand < 30 * n, f"candidate blowup: {cand} pairs for n={n}"
+    # and the keys genuinely use the widened space
+    n_buckets = sizes.count()
+    assert n_buckets > bands * 16  # strictly wider than the r5 scheme
+
+
 def test_srp_signature_determinism(spark, sf_med):
     from parserpdf_spark.operators.dedup import srp_signatures
 
