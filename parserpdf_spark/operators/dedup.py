@@ -26,23 +26,53 @@ def md5_60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _tokenized(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, toks) for docs with ≥ n tokens — the token array is
+    projected ONCE into a column so downstream gram expressions reuse it
+    (the inline form re-evaluated the split per referencing expression:
+    size, transform and filter each paid it)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    return docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+
+
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per doc, built with
     JVM-side array ops (transform over token index ranges).  Docs with
     fewer than ``n`` tokens yield no shingles (matching the SQL
     formulation ``range(len - n + 1)``; a truncated partial gram would
     silently diverge from the oracle)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
-    # greatest() keeps the sequence/slice args valid for short docs; the
-    # n_toks filter below then drops those rows entirely
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
     )
-    return (
-        docs.select("doc_id", F.size(toks).alias("n_toks"), grams.alias("grams"))
-        .filter(F.col("n_toks") >= n)
-        .select("doc_id", F.explode(F.array_distinct("grams")).alias("shingle"))
+    return _tokenized(docs, n, text_col).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle_hash) — distinct xxhash64 over each n-gram's
+    token tuple, NEVER materializing the shingle string (r6: the string
+    build + string-distinct + string-hash was the single largest cost of
+    the MinHash pass — measured ~1.6 s of 4.7 s at sf1.0).
+
+    Only the signature/banding path uses this: signatures have no oracle
+    and a different hash family only changes WHICH permutations the mins
+    come from; the exact-Jaccard verify still runs on real shingle
+    strings (:func:`word_shingles`), so output vs the oracle is
+    unchanged.  A within-doc hash collision (two distinct shingles, one
+    hash — p ≈ T²/2⁶⁵ per doc) could only perturb a signature, and any
+    false candidate it admitted is removed by the verify."""
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
+        ),
+    )
+    return _tokenized(docs, n, text_col).select(
+        "doc_id", F.explode(F.array_distinct(hashes)).alias("shingle_hash")
     )
 
 
@@ -70,10 +100,24 @@ def jaccard_pairs(
             .unionByName(only_pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        # restrict BEFORE shingling: the semi-join sits below the explode
+        # restrict BEFORE shingling: the filter sits below the explode
         # (Catalyst won't push a join through Generate on its own), so
-        # only candidate documents pay the shingle explode at all
-        docs = docs.join(cand_docs, "doc_id", "left_semi")
+        # only candidate documents pay the shingle explode at all.
+        # r6: a BOUNDED collect turns the candidate set into an isin
+        # literal — unlike the former semi-join, a literal predicate
+        # pushes through the union/repartition into the parquet scan
+        # (PushedFilters: In(doc_id, …)), so the verify's re-read prunes
+        # row groups instead of re-scanning the whole corpus.  Near-dup
+        # candidate-doc sets are O(dups); the ≤1M bound with the
+        # semi-join fallback is the engine's standard skew-tail pattern
+        # (operators/skew.py).
+        cand_rows = cand_docs.limit(1_000_001).collect()
+        if len(cand_rows) > 1_000_000:
+            docs = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        else:
+            docs = docs.filter(
+                F.col("doc_id").isin([r["doc_id"] for r in cand_rows])
+            )
     sh = word_shingles(docs, n=n, text_col=text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -147,11 +191,10 @@ def minhash_signatures(
         (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
         for _ in range(num_perms)
     ]
-    sh = word_shingles(docs, n=n, text_col=text_col)
-    base = (
-        ((F.xxhash64(F.col("shingle")) % _MERSENNE31) + _MERSENNE31)
-        % _MERSENNE31
-    ).alias("hbase")
+    # r6: hash the token tuples directly (shingle_hashes) — the shingle
+    # STRING is only needed by the exact-Jaccard verify, not here
+    sh = shingle_hashes(docs, n=n, text_col=text_col)
+    base = F.pmod(F.col("shingle_hash"), F.lit(_MERSENNE31)).alias("hbase")
     hashed = sh.select("doc_id", base)
     aggs = [
         F.min((F.col("hbase") * a + b) % _MERSENNE31).alias(f"h{i}")
@@ -673,7 +716,27 @@ def connected_components_star(
     (doc_id, cluster_id = component min) — including nodes whose only
     pairs are self-pairs (they label themselves, as in the
     label-propagation variant).
+
+    r6 round-cost trims (output unchanged):
+    - the shuffle width for the iterative rounds is derived from the
+      measured edge count (~500k edges per partition, capped at the
+      session default) instead of running every tiny round at the full
+      session width — a dup-pair graph is orders of magnitude smaller
+      than its corpus, and each round re-shuffles it ~4×; at scale the
+      derived width saturates at the cluster conf, so nothing changes
+      there.
+    - the intra-round ``large`` edge set is persisted (materialized by
+      the round's one checkpoint job, unpersisted after the round), not
+      eagerly checkpointed — one fewer job per round.
+    - convergence: |edges| is tracked across rounds; only a round whose
+      count did NOT change runs the (one-sided) anti-join equality
+      check — both sets are distinct, so equal counts + small ⊆ edges ⟺
+      equal.  Non-final rounds pay one count, not a full exceptAll
+      symmetric difference.
     """
+    from pyspark import StorageLevel
+
+    spark = pairs.sparkSession
     all_nodes = (
         pairs.select(F.col(a_col).alias("node"))
         .unionByName(pairs.select(F.col(b_col).alias("node")))
@@ -685,52 +748,63 @@ def connected_components_star(
         .distinct()
     )
     edges = e.localCheckpoint()
-    converged = False
-    for _ in range(max_iters):
-        # LARGE-STAR
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
-            "u", F.least("mn", F.col("u")).alias("m")
-        )
-        large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
-        )
-        # SMALL-STAR
-        oriented = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        members = oriented.unionByName(
-            mins2.select("u", F.col("u").alias("v"))
-        ).distinct()
-        small = (
-            members.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint()
-        )
-        unchanged = (
-            small.exceptAll(edges)
-            .unionByName(edges.exceptAll(small))
-            .limit(1).count() == 0
-        )  # one symmetric-difference job, not two
-        edges = small
-        if unchanged:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_iters} "
-            "rounds — pathological input (the scheme is O(log n) rounds)"
-        )
+    n_edges = edges.count()
+    # size-adaptive width for the round shuffles (guide: derive from
+    # input size, don't hard-code either local or cluster constants)
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    round_parts = max(1, min(session_parts, (n_edges + 499_999) // 500_000))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
+    try:
+        converged = False
+        for _ in range(max_iters):
+            # LARGE-STAR
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+                "u", F.least("mn", F.col("u")).alias("m")
+            )
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # SMALL-STAR
+            oriented = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            members = oriented.unionByName(
+                mins2.select("u", F.col("u").alias("v"))
+            ).distinct()
+            small = (
+                members.join(mins2, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            large.unpersist()
+            n_small = small.count()
+            unchanged = n_small == n_edges and (
+                small.join(edges, ["u", "v"], "left_anti").limit(1).count()
+                == 0
+            )
+            edges, n_edges = small, n_small
+            if unchanged:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iters} "
+                "rounds — pathological input (the scheme is O(log n) rounds)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # fixed point = stars: non-roots appear as u, roots as v; nodes with
     # no surviving edges (self-pairs only) label themselves
     labels = (
