@@ -16,6 +16,7 @@ positions (FIXTURES.md §5, golden md lines 1/105/121/…).
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 
 from parserpdf_spark.kernels import constants as K
@@ -74,7 +75,9 @@ class Node:
 
     def __init__(self, tag: str, attrs=None, parent=None):
         self.tag = tag
-        self.attrs = dict(attrs or {})
+        # the fast tokenizer hands over a ready dict — don't re-copy it
+        # (one dict per tag was ~5% of the HTML parse)
+        self.attrs = attrs if type(attrs) is dict else dict(attrs or {})
         self.children: list = []
         self.parent = parent
 
@@ -134,18 +137,18 @@ _ATTR_RE = re.compile(
 )
 
 
-def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
+def _parse_attrs(blob: str) -> dict[str, str | None]:
+    # returns a dict (last duplicate wins — same as dict(list-of-pairs))
+    # that Node adopts without copying
     if not blob or blob.isspace():
-        return []
-    out = []
+        return {}
+    out: dict[str, str | None] = {}
     for m in _ATTR_RE.finditer(blob):
         name, dq, sq, bare = m.groups()
         val = dq if dq is not None else (sq if sq is not None else bare)
         if val is not None and "&" in val:
-            from html import unescape
-
             val = unescape(val)
-        out.append((name.lower(), val))
+        out[name.lower()] = val
     return out
 
 
@@ -156,8 +159,6 @@ RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title"})
 
 def parse_html(markup: str) -> Node:
     """Parse markup into a lightweight DOM tree rooted at ``#root``."""
-    from html import unescape
-
     root = Node("#root")
     cur = root
     pos = 0
@@ -211,7 +212,10 @@ def parse_html(markup: str) -> Node:
             if tag in VOID_TAGS or self_close:
                 cur.children.append(Node(tag, attrs, cur))
                 continue
-            cur = _apply_autoclose(cur, tag)
+            closees = _AUTOCLOSE.get(tag)  # inlined _apply_autoclose
+            if closees:
+                while cur.tag in closees:
+                    cur = cur.parent
             node = Node(tag, attrs, cur)
             cur.children.append(node)
             cur = node
