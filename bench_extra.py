@@ -77,11 +77,19 @@ def main() -> None:
         if name == "cc_star_persisted_pairs":
             # the pairs table is the persisted production input; building
             # the DataFrame runs the iterative job eagerly, so "timing"
-            # wraps the build too (see time loop below)
+            # wraps the build too (see time loop below).  Round-count
+            # visibility (VERDICT r5 item 6) reports here because
+            # bench.py is frozen for measurement.
             from parserpdf_spark.operators.dedup import connected_components_star
 
             path = bench.ensure_pairs_table(spark, SF_DIR)
-            return connected_components_star(spark.read.parquet(path))
+            stats: dict = {}
+            df = connected_components_star(
+                spark.read.parquet(path), stats=stats
+            )
+            out["cc_rounds"] = stats.get("cc_rounds")
+            out["cc_edges"] = stats.get("cc_edges")
+            return df
         return qmap[name](spark, SF_DIR)
 
     out: dict[str, object] = {"sf": SF_DIR, "cpus": int(CPUS), "runs": args.runs}

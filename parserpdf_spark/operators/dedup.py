@@ -696,6 +696,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """O(log n)-round connected components via alternating large-star /
     small-star contraction (Kiveris et al., *Connected Components in
@@ -757,7 +758,9 @@ def connected_components_star(
     spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
     try:
         converged = False
+        rounds = 0
         for _ in range(max_iters):
+            rounds += 1
             # LARGE-STAR
             sym = edges.unionByName(
                 edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -803,6 +806,11 @@ def connected_components_star(
                 f"connected_components_star did not converge in {max_iters} "
                 "rounds — pathological input (the scheme is O(log n) rounds)"
             )
+        if stats is not None:
+            # round-count visibility (VERDICT r5 item 6): callers/benches
+            # can observe convergence behavior without re-deriving it
+            stats["cc_rounds"] = rounds
+            stats["cc_edges"] = n_edges
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # fixed point = stars: non-roots appear as u, roots as v; nodes with
