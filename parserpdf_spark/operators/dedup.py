@@ -52,30 +52,6 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     )
 
 
-def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle_hash) — distinct xxhash64 over each n-gram's
-    token tuple, NEVER materializing the shingle string (r6: the string
-    build + string-distinct + string-hash was the single largest cost of
-    the MinHash pass — measured ~1.6 s of 4.7 s at sf1.0).
-
-    Only the signature/banding path uses this: signatures have no oracle
-    and a different hash family only changes WHICH permutations the mins
-    come from; the exact-Jaccard verify still runs on real shingle
-    strings (:func:`word_shingles`), so output vs the oracle is
-    unchanged.  A within-doc hash collision (two distinct shingles, one
-    hash — p ≈ T²/2⁶⁵ per doc) could only perturb a signature, and any
-    false candidate it admitted is removed by the verify."""
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.xxhash64(
-            *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
-        ),
-    )
-    return _tokenized(docs, n, text_col).select(
-        "doc_id", F.explode(F.array_distinct(hashes)).alias("shingle_hash")
-    )
-
-
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -181,9 +157,12 @@ def minhash_signatures(
     silently).  Signatures themselves have no oracle; xxhash64 needs no
     DuckDB twin.
 
-    One shuffle with map-side partial mins — the 10^12-scale shape (the
-    naive shingle×perm explode multiplies the shuffle by 64; per-perm
-    full hashing multiplies the *CPU* by 64)."""
+    ZERO shuffle (r6): the shingle hashes stay an array column and each
+    permutation's min is array-local, so the signature pass is a pure
+    narrow map over the corpus — the 10^12-scale shape (the naive
+    shingle×perm explode multiplies a shuffle by 64 that this plan
+    doesn't even have; per-perm full hashing multiplies the *CPU* by
+    64)."""
     import random
 
     rng = random.Random(seed)
@@ -191,16 +170,35 @@ def minhash_signatures(
         (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
         for _ in range(num_perms)
     ]
-    # r6: hash the token tuples directly (shingle_hashes) — the shingle
-    # STRING is only needed by the exact-Jaccard verify, not here
-    sh = shingle_hashes(docs, n=n, text_col=text_col)
-    base = F.pmod(F.col("shingle_hash"), F.lit(_MERSENNE31)).alias("hbase")
-    hashed = sh.select("doc_id", base)
-    aggs = [
-        F.min((F.col("hbase") * a + b) % _MERSENNE31).alias(f"h{i}")
+    # r6: ZERO-shuffle signatures.  A document's shingle hashes live in
+    # one array column (no shingle string — hash the token tuples
+    # directly), and each permutation's min is an array-local
+    # ``array_min(transform(...))`` — so the explode + groupBy(doc_id)
+    # 64-min aggregate (one full Exchange of every shingle hash) is gone
+    # entirely.  The min over the same value multiset is identical, so
+    # signatures are bit-identical to the aggregate form (asserted by
+    # tests/test_plans.py: Exchange == 0).
+    hashes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.pmod(
+                F.xxhash64(
+                    *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
+                ),
+                F.lit(_MERSENNE31),
+            ),
+        )
+    )
+    hashed = _tokenized(docs, n, text_col).select(
+        "doc_id", hashes.alias("hbase")
+    )
+    sigs = [
+        F.array_min(
+            F.transform(F.col("hbase"), lambda h: (h * a + b) % _MERSENNE31)
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *sigs)
 
 
 def lsh_candidate_pairs(
@@ -814,13 +812,16 @@ def connected_components_star(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # fixed point = stars: non-roots appear as u, roots as v; nodes with
-    # no surviving edges (self-pairs only) label themselves
-    labels = (
-        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
-        .unionByName(
-            edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
-        )
-        .distinct()
+    # no surviving edges (self-pairs only) label themselves.  r6: in a
+    # star forest every non-root carries exactly ONE edge (to its root)
+    # and no node is both a non-root and a root, so only the root side
+    # needs a distinct (1 narrow column) — the former distinct over the
+    # whole unioned label set shuffled every (doc_id, cluster_id) row.
+    roots = edges.select(F.col("v").alias("doc_id")).distinct()
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).unionByName(
+        roots.select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     singletons = all_nodes.join(
         labels, all_nodes["node"] == labels["doc_id"], "left_anti"

@@ -171,17 +171,18 @@ def test_decontamination_broadcasts_eval_shingles(spark, sf_med):
     assert "SortMergeJoin LeftSemi" not in plan
 
 
-def test_minhash_is_one_aggregate_no_perm_explode(spark, sf_small):
-    """64 permutations ride ONE partial+final aggregate pair (map-side
-    combine), not a 64× exploded shuffle."""
+def test_minhash_signatures_zero_shuffle(spark, sf_small):
+    """r6: the 64-permutation signature pass is a pure narrow map —
+    array-local mins over the per-doc shingle-hash array, with NO
+    exploded shuffle and NO aggregate at all."""
     from parserpdf_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
         "doc_id", "text"
     )
     plan = plan_of(minhash_signatures(docs))
-    assert node_count(plan, "Exchange") == 1  # the single doc_id shuffle
-    assert node_count(plan, "HashAggregate") == 2  # partial + final
+    assert node_count(plan, "Exchange") == 0
+    assert node_count(plan, "HashAggregate") == 0
 
 
 def test_aqe_enabled(spark):
