@@ -185,6 +185,21 @@ def test_embedding_bucketed_equals_bruteforce_on_near_dups(spark, sf_med):
     assert bucketed == brute
 
 
+def test_minhash_empty_candidate_set(spark):
+    """r6: the verify's bounded-collect isin pruning must survive a
+    corpus with NO near-dups (empty candidate list → isin([]))."""
+    from parserpdf_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"totally unique document {i} alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(docs, threshold=0.8).collect() == []
+
+
 def test_srp_corpus_aware_banding_keeps_candidates_linear(spark, sf_med):
     """r6: the corpus-aware band sizing must spread vectors over ≥2n
     buckets per band so the candidate-pair count stays O(n) — the r5
