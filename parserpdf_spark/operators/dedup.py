@@ -17,7 +17,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 # A cross-engine 60-bit token hash: md5 hex prefix → bigint.  Spark's
 # xxhash64/hash have no DuckDB twin; md5 exists in both, and 15 hex
@@ -769,6 +769,7 @@ def connected_components_star(
     b_col: str = "doc_b",
     max_iters: int = 50,
     stats: dict | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """O(log n)-round connected components via alternating large-star /
     small-star contraction (Kiveris et al., *Connected Components in
@@ -789,6 +790,23 @@ def connected_components_star(
     (doc_id, cluster_id = component min) — including nodes whose only
     pairs are self-pairs (they label themselves, as in the
     label-propagation variant).
+
+    r6 size-adaptive fast path (output unchanged): a dup-pair graph is
+    orders of magnitude smaller than its corpus, and each star round
+    costs a fixed number of jobs regardless of size — pure scheduling
+    overhead when the graph is tiny.  When the measured edge count is
+    ≤ ``driver_threshold`` (1M — the engine's standard bounded-collect
+    budget, cf. operators/skew.py and the LSH verify) and the id type is
+    integral, the component minima are computed with a driver-side
+    union-find over the collected edge list and the iterative rounds are
+    skipped entirely; singleton handling stays distributed (the pair
+    table itself may be arbitrarily large — only the DISTINCT non-self
+    edges are bounded).  Past the threshold nothing changes: the
+    O(log n)-round star contraction below is the scale path.  Python's
+    int min ≡ Spark's numeric min, so labels are identical (the
+    equivalence tests cover both paths); non-integral id types always
+    take the distributed path (string min differs between engines in
+    principle).
 
     r6 round-cost trims (output unchanged):
     - the shuffle width for the iterative rounds is derived from the
@@ -822,6 +840,54 @@ def connected_components_star(
     )
     edges = e.localCheckpoint()
     n_edges = edges.count()
+    id_type = pairs.schema[a_col].dataType
+    integral = isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    if integral and n_edges <= driver_threshold:
+        # bounded driver fast path: union-find with min-root labels
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            u, v = row["u"], row["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min so the root IS the component min
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        label_rows = [(x, find(x)) for x in parent]
+        if stats is not None:
+            stats["cc_rounds"] = 0
+            stats["cc_edges"] = n_edges
+        labels = spark.createDataFrame(
+            label_rows,
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", id_type),
+                    T.StructField("cluster_id", id_type),
+                ]
+            ),
+        )
+        singletons = all_nodes.join(
+            labels, all_nodes["node"] == labels["doc_id"], "left_anti"
+        ).select(
+            F.col("node").alias("doc_id"), F.col("node").alias("cluster_id")
+        )
+        return labels.unionByName(singletons)
     # size-adaptive width for the round shuffles (guide: derive from
     # input size, don't hard-code either local or cluster constants)
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -791,18 +791,31 @@ def test_connected_components_star_equals_label_propagation(spark):
     for pairs in cases:
         pairs = [(a, b) for a, b in pairs if a != b]
         df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        # default: the bounded driver union-find fast path
         star = {r["doc_id"]: r["cluster_id"]
                 for r in connected_components_star(df).collect()}
+        # driver_threshold=0 forces the distributed star rounds — both
+        # paths must agree with each other and with label propagation
+        star_dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(
+                df, driver_threshold=0
+            ).collect()
+        }
         naive = {r["doc_id"]: r["cluster_id"]
                  for r in connected_components(df, max_iters=200).collect()}
         assert star == naive
+        assert star_dist == naive
     # the chain case: star converges well inside a budget where plain
-    # propagation provably cannot (info travels one hop per round)
+    # propagation provably cannot (info travels one hop per round);
+    # driver_threshold=0 so the round budget is actually exercised
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 140)], "doc_a long, doc_b long"
     )
     got = {r["cluster_id"] for r in
-           connected_components_star(chain, max_iters=10).collect()}
+           connected_components_star(
+               chain, max_iters=10, driver_threshold=0
+           ).collect()}
     assert got == {100}
 
 
