@@ -496,19 +496,28 @@ def _srp_band_params(n_vectors: int, threshold: float) -> tuple[int, int]:
     ~1e8 full-cosine verifies — brute force with extra shuffles).
 
     Fix (the standard LSH sizing):
-    - ``bits_per_band r = clamp(ceil(log2 n) + 1, 8, 24)`` → ≥2n buckets
+    - ``bits_per_band r = clamp(ceil(log2 n) + 3, 8, 30)`` → ≥8n buckets
       per band, so expected random collisions per band are
-      C(n,2)/2^r ≤ n/4 — Σ|bucket|² stays O(n), at any corpus size.
+      C(n,2)/2^r ≤ n/16 — Σ|bucket|² stays O(n), at any corpus size.
+      (+3 rather than +1, r6 second pass: each random candidate pays a
+      vector fetch through the verify joins plus an interpreted JVM
+      cosine, while each extra projection bit is one numpy dot per
+      vector — measured at n = 20k, +2 bits cut candidates 139k → 54k
+      and the full query 3.3 → 2.0 s even though the matmul grew 40%.
+      The 30-bit cap keeps ≥n buckets/band out to n ≈ 10⁹; past that
+      the band count implied by the miss budget makes the signature
+      matmul itself the bottleneck and a multi-probe scheme is the
+      right tool.)
     - ``num_bands b = ceil(ln(1/miss) / -ln(1 - p^r))`` with
       ``p = 1 − arccos(threshold)/π`` (the SRP bit-agreement
       probability) holds the probability that a TRUE pair at exactly the
       threshold misses every band below ``SRP_TARGET_MISS`` (1%).
 
     p_miss arithmetic at threshold 0.95 (p = 0.899):
-      n = 20,010 → r = 16, p^r = 0.182, b = 23 → miss = (1−0.182)^23 ≈ 1%
-      for a pair AT 0.95; at cosine 0.99 (p = 0.955) miss ≈ 3e-7; exact
+      n = 20,010 → r = 18, p^r = 0.147, b = 29 → miss = (1−0.147)^29 ≈ 1%
+      for a pair AT 0.95; at cosine 0.99 (p = 0.955) miss ≈ 6e-8; exact
       duplicates (cosine 1) have identical signatures — miss = 0, always.
-    Expected random candidates: b · C(n,2)/2^r ≈ 23 · n/4 ≈ 6n — linear.
+    Expected random candidates: b · C(n,2)/2^r ≈ 29 · n/16 ≈ 2n — linear.
 
     False positives are removed by the exact-cosine verify, so widening
     only trades (bounded, documented) recall on near-threshold pairs for
@@ -517,7 +526,7 @@ def _srp_band_params(n_vectors: int, threshold: float) -> tuple[int, int]:
     import math
 
     n = max(int(n_vectors), 2)
-    r = min(24, max(8, math.ceil(math.log2(n)) + 1))
+    r = min(30, max(8, math.ceil(math.log2(n)) + 3))
     t = min(max(float(threshold), -1.0), 1.0)
     p = 1.0 - math.acos(t) / math.pi
     p_band = min(max(p ** r, 1e-12), 1.0 - 1e-12)
