@@ -82,29 +82,59 @@ def jaccard_pairs(
     rounding (oracle-parity tested).
     """
     if only_pairs is not None:
-        cand_docs = (
-            only_pairs.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(only_pairs.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        # r6: ONE bounded collect of the candidate PAIRS themselves
+        # (≤1M — the engine's standard bounded-collect budget,
+        # operators/skew.py).  Two things follow from it:
+        # - the candidate-doc restriction becomes an isin literal that
+        #   pushes through union/repartition into the parquet scan
+        #   (PushedFilters: In(doc_id, …)) — the verify re-reads
+        #   O(candidate docs), not O(corpus);
+        # - the pair list becomes a LocalRelation, so the verify's plan
+        #   carries ZERO reference to the candidate lineage.  This
+        #   matters: the LSH band self-join that produces the pairs is
+        #   the most expensive subtree in the job, and referencing
+        #   ``only_pairs`` from the verify plan re-evaluated it (one
+        #   extra band join per reference, measured ~3 s of a 4 s verify
+        #   at the 50k-doc scale, even with the pairs persisted).
+        # Past the bound, the lazy plan-shaped fallback keeps the old
+        # semi-join form.
+        pair_rows = (
+            only_pairs.select("doc_a", "doc_b").limit(1_000_001).collect()
         )
-        # restrict BEFORE shingling: the filter sits below the gram
-        # transform (Catalyst won't push a join through an opaque
-        # subtree on its own), so only candidate documents pay the
-        # shingle work at all.
-        # r6: a BOUNDED collect turns the candidate set into an isin
-        # literal — unlike the former semi-join, a literal predicate
-        # pushes through the union/repartition into the parquet scan
-        # (PushedFilters: In(doc_id, …)), so the verify's re-read prunes
-        # row groups instead of re-scanning the whole corpus.  Near-dup
-        # candidate-doc sets are O(dups); the ≤1M bound with the
-        # semi-join fallback is the engine's standard skew-tail pattern
-        # (operators/skew.py).
-        cand_rows = cand_docs.limit(1_000_001).collect()
-        if len(cand_rows) > 1_000_000:
-            docs = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        if len(pair_rows) <= 1_000_000:
+            local_pairs = sorted(
+                {(a, b) for a, b in pair_rows if a < b}
+            )
+            ids = sorted({x for p in local_pairs for x in p})
+            docs = docs.filter(F.col("doc_id").isin(ids))
+            cand = docs.sparkSession.createDataFrame(
+                local_pairs,
+                schema=T.StructType(
+                    [
+                        T.StructField(
+                            "doc_a", only_pairs.schema["doc_a"].dataType
+                        ),
+                        T.StructField(
+                            "doc_b", only_pairs.schema["doc_b"].dataType
+                        ),
+                    ]
+                ),
+            )
         else:
-            docs = docs.filter(
-                F.col("doc_id").isin([r["doc_id"] for r in cand_rows])
+            cand_docs = (
+                only_pairs.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(only_pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            docs = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            # pairs as given, constrained to the old path's doc_a < doc_b
+            # orientation and de-duplicated (the grouped self-join
+            # emitted one row per distinct pair regardless of input
+            # multiplicity)
+            cand = (
+                only_pairs.select("doc_a", "doc_b")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .distinct()
             )
         # distinct-shingle ARRAY per candidate doc (never exploded)
         grams = F.transform(
@@ -113,14 +143,6 @@ def jaccard_pairs(
         )
         arrs = _tokenized(docs, n, text_col).select(
             "doc_id", F.array_distinct(grams).alias("sh")
-        )
-        # pairs as given, constrained to the old path's doc_a < doc_b
-        # orientation and de-duplicated (the grouped self-join emitted
-        # one row per distinct pair regardless of input multiplicity)
-        cand = (
-            only_pairs.select("doc_a", "doc_b")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .distinct()
         )
         pa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         pb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
