@@ -282,13 +282,25 @@ def minhash_signatures(
         flat = np.concatenate(
             [np.asarray(v, dtype=np.int64) for v in hb]
         )
-        a = np.asarray(a_vec, dtype=np.int64)[:, None]
-        b = np.asarray(b_vec, dtype=np.int64)[:, None]
-        vals = (flat[None, :] * a + b) % _MERSENNE31
+        a = np.asarray(a_vec, dtype=np.int64)
+        b = np.asarray(b_vec, dtype=np.int64)
         starts = np.zeros(len(hb), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        per_doc = np.minimum.reduceat(vals, starts, axis=1)  # perms × docs
-        return pd.Series(list(per_doc.T))
+        # permutation axis processed in memory-bounded blocks: the 2-D
+        # intermediate is block × |shingles in batch| — Arrow bounds
+        # ROWS per batch, not shingles, so a giant-doc batch with a
+        # full-width intermediate would be 64 × |flat| (gigabytes at
+        # 10^7 shingles).  Normal batches (≤ ~250k shingles) still run
+        # full-width in one op; only outsized batches pay the loop,
+        # capped at ~128 MB of intermediate either way.
+        blk = max(8, min(len(a), 16_000_000 // max(flat.size, 1)))
+        out = np.empty((len(hb), len(a)), dtype=np.int64)
+        for i in range(0, len(a), blk):
+            blk_a = a[i : i + blk][:, None]
+            blk_b = b[i : i + blk][:, None]
+            vals = (flat[None, :] * blk_a + blk_b) % _MERSENNE31
+            out[:, i : i + blk] = np.minimum.reduceat(vals, starts, axis=1).T
+        return pd.Series(list(out))
 
     sig = hashed.select("doc_id", mins("hbase").alias("sig"))
     return sig.select(
