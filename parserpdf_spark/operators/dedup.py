@@ -98,13 +98,19 @@ def jaccard_pairs(
         #   at the 50k-doc scale, even with the pairs persisted).
         # Past the bound, the lazy plan-shaped fallback keeps the old
         # semi-join form.
+        # the doc_a < doc_b orientation filter runs IN SPARK before the
+        # collect so pair comparison semantics (e.g. string ordering)
+        # are the engine's, identical to the old grouped-self-join path;
+        # de-duplication is plain equality — engine-agnostic, so it runs
+        # in Python on the collected rows (no extra distinct shuffle)
         pair_rows = (
-            only_pairs.select("doc_a", "doc_b").limit(1_000_001).collect()
+            only_pairs.select("doc_a", "doc_b")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .limit(1_000_001)
+            .collect()
         )
         if len(pair_rows) <= 1_000_000:
-            local_pairs = sorted(
-                {(a, b) for a, b in pair_rows if a < b}
-            )
+            local_pairs = list({(r["doc_a"], r["doc_b"]) for r in pair_rows})
             ids = sorted({x for p in local_pairs for x in p})
             docs = docs.filter(F.col("doc_id").isin(ids))
             cand = docs.sparkSession.createDataFrame(
