@@ -887,7 +887,9 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    edges = e.localCheckpoint()
+    # lazy checkpoint: the count right below materializes it, so sizing
+    # the graph costs one job, not an eager-checkpoint job plus a count
+    edges = e.localCheckpoint(eager=False)
     n_edges = edges.count()
     id_type = pairs.schema[a_col].dataType
     integral = isinstance(
