@@ -52,6 +52,57 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     )
 
 
+def _in_predicate(col_name: str, values, dtype):
+    """``col IN (…)`` over a collected id list in ONE py4j call.
+
+    ``Column.isin(vs)`` creates one JVM ``Literal`` per element — a py4j
+    round trip each, measured ~2 s of pure DRIVER time for ~5k ids
+    (guide §5: the driver should do almost no data work, and this was
+    data-proportional plan construction).  Rendering the predicate as a
+    single SQL string costs one round trip and parses in the JVM in
+    milliseconds, producing the SAME ``In(col, literals)`` expression —
+    parquet ``PushedFilters: In(doc_id, …)`` behavior is unchanged.
+
+    Only integral values are rendered (their SQL spelling is exact);
+    everything else falls back to ``isin`` unchanged (string literals
+    would need parser-config-dependent escaping — not worth the risk).
+    """
+    vals = list(values)
+    if not vals:
+        return F.lit(False)
+    integral = isinstance(
+        dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    if integral and all(
+        isinstance(v, int) and not isinstance(v, bool) for v in vals
+    ):
+        rendered = ",".join(str(v) for v in vals)
+        return F.expr(f"`{col_name}` IN ({rendered})")
+    return F.col(col_name).isin(vals)
+
+
+def _local_pairs_df(spark, local_pairs, schema):
+    """LocalRelation for collected (a, b) pairs — via pandas so the
+    conversion rides Arrow (one buffer) instead of pickling row tuples
+    through py4j (measured ~1 s of driver time at a few thousand rows);
+    falls back to the plain list path for exotic id types."""
+    simple = all(
+        isinstance(f.dataType, (T.LongType, T.IntegerType, T.StringType))
+        for f in schema.fields
+    )
+    if simple and local_pairs:
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                local_pairs, columns=[f.name for f in schema.fields]
+            )
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:  # pragma: no cover — pandas/Arrow unavailable
+            pass
+    return spark.createDataFrame(local_pairs, schema=schema)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -112,10 +163,13 @@ def jaccard_pairs(
         if len(pair_rows) <= 1_000_000:
             local_pairs = list({(r["doc_a"], r["doc_b"]) for r in pair_rows})
             ids = sorted({x for p in local_pairs for x in p})
-            docs = docs.filter(F.col("doc_id").isin(ids))
-            cand = docs.sparkSession.createDataFrame(
+            docs = docs.filter(
+                _in_predicate("doc_id", ids, docs.schema["doc_id"].dataType)
+            )
+            cand = _local_pairs_df(
+                docs.sparkSession,
                 local_pairs,
-                schema=T.StructType(
+                T.StructType(
                     [
                         T.StructField(
                             "doc_a", only_pairs.schema["doc_a"].dataType
@@ -315,6 +369,52 @@ def minhash_signatures(
     )
 
 
+def _bucket_pairs(
+    buckets: DataFrame, id_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Distinct id pairs sharing any (band, key) bucket — the shared
+    tail of every banded-LSH scheme here.
+
+    ONE ``groupBy(band, key)`` collects each bucket's ids and the i<j
+    pairs are generated array-locally from the sorted list (r6 third
+    pass; previously a bucket SELF-JOIN).  The join form shuffled the
+    bucket rows twice (one Exchange per join side — exchange reuse does
+    not fire under AQE, which is also why the upstream signatures had to
+    be persisted) and paid two sort-merge sorts; the groupBy form
+    shuffles them once, needs no sort and no persist, and references the
+    signature subtree exactly once.  Output is identical: ``sort_array``
+    orders by the engine's own comparator, so emitting (ids[i], ids[j])
+    for i<j plus the ``a < b`` filter reproduces the join+filter
+    semantics exactly (including duplicate-id and NULL-id edge cases —
+    ``collect_list`` drops NULL ids, which the old path's ``a < b``
+    filter also discarded).  Buckets with ≥2 members are near-dup-sized
+    by construction (band keys are parameterized so random collisions
+    are rare), and a giant bucket is Σ|bucket|² work in BOTH forms —
+    the groupBy form just materializes the bucket's id list (not its
+    payloads) in one task first.
+    """
+    grouped = (
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(f"p.{a_name}", f"p.{b_name}")
+        .filter(F.col(a_name) < F.col(b_name))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_bands: int = NUM_BANDS,
@@ -326,6 +426,8 @@ def lsh_candidate_pairs(
     over the band's signature columns (bigint shuffle key), not a
     cryptographic digest of a concatenated string; a key collision can
     only ADD a candidate pair, which the exact-Jaccard verify removes.
+    Pair generation is the one-shuffle groupBy form — see
+    :func:`_bucket_pairs`.
     """
     rows = num_perms // num_bands
     bands = []
@@ -340,14 +442,7 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "doc_id", F.explode(F.array(*bands)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _bucket_pairs(buckets, "doc_id", "doc_a", "doc_b")
 
 
 def minhash_lsh_pairs(
@@ -362,20 +457,17 @@ def minhash_lsh_pairs(
     At high thresholds the 16×4 banding's recall is ≈1, so output
     matches exact all-pairs Jaccard.
 
-    ``persist_candidates`` (default on) caches the two DataFrames the
-    plan references twice: the SIGNATURES (both sides of the band-bucket
-    self-join) and the CANDIDATE PAIRS (candidate-doc derivation + the
-    pair semi-join in the verify) — Spark's exchange reuse does not
-    de-duplicate either subtree under AQE, so unpersisted, the
-    signature pipeline (the expensive part) executes up to 3× per
-    action (measured ~1.7× end-to-end at sf0.1 from the candidate
-    double-reference alone).  Both are the persisted-intermediate
-    contract a production run uses anyway (signatures ≈ 0.5% of corpus
-    bytes; pairs are near-dup-sized); pass False to keep the plan fully
-    lazy."""
+    ``persist_candidates`` (default on) caches the CANDIDATE PAIRS,
+    which the >1M-pair fallback of the verify references three times
+    (candidate-doc derivation ×2 + the pair distinct) — Spark's exchange
+    reuse does not de-duplicate the subtree under AQE, so unpersisted,
+    the signature pipeline (the expensive part) would execute per
+    reference.  Pairs are near-dup-sized — the persisted-intermediate
+    contract a production run uses anyway; pass False to keep the plan
+    fully lazy.  The signatures themselves no longer need a persist:
+    the groupBy band form (:func:`_bucket_pairs`, r6 third pass)
+    references the signature subtree exactly once."""
     signatures = minhash_signatures(docs, n=n, text_col=text_col)
-    if persist_candidates:
-        signatures = signatures.persist()
     candidates = lsh_candidate_pairs(signatures)
     if persist_candidates:
         candidates = candidates.persist()
@@ -692,12 +784,19 @@ def embedding_dup_pairs_bucketed(
         embeddings, id_col=id_col, vec_col=vec_col,
         bits_per_band=rows, num_bands=num_bands, seed=seed,
     )
+    # The band-bucket self-join references the signature subtree on
+    # both sides, and the Arrow-batch matmul stage would run twice
+    # (exchange reuse does not fire under AQE); signatures are
+    # 8·num_bands bytes/vector — the persisted-intermediate a
+    # production job writes to a table anyway.  NOTE (r6 third pass):
+    # the one-shuffle groupBy form (:func:`_bucket_pairs`, taken for
+    # MinHash) was A/B'd here and measured SLOWER (1.51 → 1.91 s at 20k
+    # vectors × 29 bands): with corpus-aware keys nearly every bucket is
+    # a singleton, so collect_list's per-group ObjectHashAggregate
+    # overhead exceeds the exchange it saves, while the minhash win came
+    # from its far heavier signature subtree and 16 fixed bands.  The
+    # join form stays — measured, not assumed.
     if persist_signatures:
-        # the band-bucket self-join references the signature subtree on
-        # both sides, and the Arrow-batch matmul stage would run twice
-        # (exchange reuse does not fire under AQE); signatures are
-        # 8·num_bands bytes/vector — the persisted-intermediate a
-        # production job writes to a table anyway
         sigs = sigs.persist()
     buckets = sigs.select(
         "id", F.posexplode("keys").alias("band", "key")
@@ -924,9 +1023,10 @@ def connected_components_star(
         if stats is not None:
             stats["cc_rounds"] = 0
             stats["cc_edges"] = n_edges
-        labels = spark.createDataFrame(
+        labels = _local_pairs_df(
+            spark,
             label_rows,
-            schema=T.StructType(
+            T.StructType(
                 [
                     T.StructField("doc_id", id_type),
                     T.StructField("cluster_id", id_type),
