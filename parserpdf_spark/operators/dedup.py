@@ -976,25 +976,28 @@ def connected_components_star(
     from pyspark import StorageLevel
 
     spark = pairs.sparkSession
-    all_nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .unionByName(pairs.select(F.col(b_col).alias("node")))
-        .distinct()
-    )
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # lazy checkpoint: the count right below materializes it, so sizing
+    # lazy checkpoint: the first action below materializes it, so sizing
     # the graph costs one job, not an eager-checkpoint job plus a count
     edges = e.localCheckpoint(eager=False)
-    n_edges = edges.count()
     id_type = pairs.schema[a_col].dataType
     integral = isinstance(
         id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     )
-    if integral and n_edges <= driver_threshold:
+    # r6 third pass: the fast path sizes the graph with the SAME bounded
+    # collect that fetches the edges (limit threshold+1 — complete iff
+    # within budget), so the separate count() job is gone; the
+    # distributed branch still counts (it needs n_edges for the round
+    # width, and pays one extra job only past the 1M bound).
+    edge_rows = (
+        edges.limit(driver_threshold + 1).collect() if integral else None
+    )
+    if edge_rows is not None and len(edge_rows) <= driver_threshold:
+        n_edges = len(edge_rows)
         # bounded driver fast path: union-find with min-root labels
         parent: dict = {}
 
@@ -1006,7 +1009,7 @@ def connected_components_star(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in edge_rows:
             u, v = row["u"], row["v"]
             if u not in parent:
                 parent[u] = u
@@ -1033,12 +1036,31 @@ def connected_components_star(
                 ]
             ),
         )
-        singletons = all_nodes.join(
-            labels, all_nodes["node"] == labels["doc_id"], "left_anti"
+        # singleton candidates — every node of a SURVIVING edge is in
+        # ``parent`` (the collected edge set is complete within the
+        # bound), so only pair rows that contributed NO edge (self-pairs
+        # and null-id rows, i.e. rows the ``u != v`` filter dropped
+        # under three-valued logic) can hold singleton nodes: one
+        # explode+distinct over those few rows replaces the former
+        # union of BOTH id columns + full-width distinct over EVERY node
+        dropped = pairs.filter(
+            ~F.coalesce(F.col(a_col) != F.col(b_col), F.lit(False))
+        )
+        selfnodes = dropped.select(
+            F.explode(F.array(a_col, b_col)).alias("node")
+        ).distinct()
+        singletons = selfnodes.join(
+            labels, selfnodes["node"] == labels["doc_id"], "left_anti"
         ).select(
             F.col("node").alias("doc_id"), F.col("node").alias("cluster_id")
         )
         return labels.unionByName(singletons)
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    n_edges = edges.count()
     # size-adaptive width for the round shuffles (guide: derive from
     # input size, don't hard-code either local or cluster constants)
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

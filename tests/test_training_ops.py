@@ -819,6 +819,51 @@ def test_connected_components_star_equals_label_propagation(spark):
     assert got == {100}
 
 
+def test_cc_star_fast_path_singletons_from_dropped_rows(spark):
+    """r6: the fast path derives singleton candidates from the pair rows
+    that contributed NO edge (self-pairs and null-id rows) instead of a
+    distinct over every node — output must still match the distributed
+    path exactly, including nodes whose only partner is NULL and the
+    all-NULL row itself."""
+    from pyspark.sql import types as T
+
+    from parserpdf_spark.operators.dedup import connected_components_star
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, 2), (2, 3), (3, 1), (2, 1),      # triangle + duplicate edge
+        (5, 5), (7, 7),                      # self-pair singletons
+        (9, None), (None, None),             # null-partner + all-null
+        (10, 11), (11, 10),                  # two-cycle
+        (2, 2),                              # self-pair of a non-singleton
+    ]
+    pairs = spark.createDataFrame(rows, schema=schema)
+    fast = sorted(
+        ((r["doc_id"], r["cluster_id"])
+         for r in connected_components_star(pairs).collect()),
+        key=str,
+    )
+    dist = sorted(
+        ((r["doc_id"], r["cluster_id"])
+         for r in connected_components_star(
+             pairs, driver_threshold=0
+         ).collect()),
+        key=str,
+    )
+    assert fast == dist
+    as_dict = dict(fast)
+    assert as_dict[5] == 5 and as_dict[7] == 7   # self-pair singletons
+    assert as_dict[9] == 9                       # null partner → itself
+    assert as_dict[2] == 1                       # self-pair didn't detach 2
+    assert (None, None) in fast                  # null node labels itself
+    assert len(fast) == len(as_dict)             # no duplicate doc_ids
+
+
 def test_redact_pii_plus_phone_does_not_eat_longer_digit_runs(spark):
     """Regression: the +country alternative must stop at a word boundary,
     never redacting a prefix of a longer identifier."""
