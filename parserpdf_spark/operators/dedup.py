@@ -17,6 +17,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 # A cross-engine 60-bit token hash: md5 hex prefix → bigint.  Spark's
@@ -327,6 +329,31 @@ def minhash_signatures(
         "doc_id", hashes.alias("hbase")
     )
 
+    mins = _mins_udf(tuple(coeffs))
+
+    sig = hashed.select("doc_id", mins("hbase").alias("sig"))
+    # one selectExpr call: the former per-column F.element_at/.alias
+    # Column building cost 128 py4j round trips per CONSTRUCTION
+    # (~0.1 s of driver time every bench run) for the same projection
+    return sig.selectExpr(
+        "doc_id",
+        *[f"element_at(sig, {i + 1}) as h{i}" for i in range(num_perms)],
+    )
+
+
+# pandas_udf objects cached per coefficient set: creating one costs a
+# cloudpickle of the closure + a py4j registration (~0.1-0.2 s of driver
+# time), which the former inline definition paid on EVERY query
+# construction; the wrapped function is stateless w.r.t. the DataFrame,
+# so reuse across plans/sessions is sound
+_MINS_UDF_CACHE: dict = {}
+
+
+def _mins_udf(coeffs: tuple):
+    if coeffs in _MINS_UDF_CACHE:
+        return _MINS_UDF_CACHE[coeffs]
+    import pandas as pd  # noqa: F401 — pandas_udf return path
+
     a_vec = [a for a, _ in coeffs]
     b_vec = [b for _, b in coeffs]
 
@@ -362,11 +389,8 @@ def minhash_signatures(
             out[:, i : i + blk] = np.minimum.reduceat(vals, starts, axis=1).T
         return pd.Series(list(out))
 
-    sig = hashed.select("doc_id", mins("hbase").alias("sig"))
-    return sig.select(
-        "doc_id",
-        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(num_perms)],
-    )
+    _MINS_UDF_CACHE[coeffs] = mins
+    return mins
 
 
 def _bucket_pairs(
@@ -430,17 +454,19 @@ def lsh_candidate_pairs(
     :func:`_bucket_pairs`.
     """
     rows = num_perms // num_bands
-    bands = []
-    for band in range(num_bands):
-        cols = [F.col(f"h{band * rows + r}") for r in range(rows)]
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(F.lit(band), *cols).alias("key"),
-            )
+    # one selectExpr string builds all band structs in a single py4j
+    # round trip (the per-Column form cost ~100 round trips per query
+    # construction); the parsed expressions are identical — SQL integer
+    # literals and xxhash64's default seed match F.lit/F.xxhash64
+    structs = ",".join(
+        "struct({b} as band, xxhash64({b}, {cols}) as key)".format(
+            b=band,
+            cols=", ".join(f"h{band * rows + r}" for r in range(rows)),
         )
-    buckets = signatures.select(
-        "doc_id", F.explode(F.array(*bands)).alias("b")
+        for band in range(num_bands)
+    )
+    buckets = signatures.selectExpr(
+        "doc_id", f"explode(array({structs})) as b"
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     return _bucket_pairs(buckets, "doc_id", "doc_a", "doc_b")
 
@@ -611,8 +637,12 @@ SRP_BANDS = 8  # legacy fixed banding (srp_signatures); the scale path
 SRP_TARGET_MISS = 1e-2  # per-true-pair miss budget AT the threshold
 
 
+@functools.lru_cache(maxsize=16)
 def _srp_planes(dim: int, n_bits: int, seed: int):
-    """Deterministic random hyperplanes (seeded, cached per process)."""
+    """Deterministic random hyperplanes (seeded, cached per process —
+    the cache makes good on the docstring: the matmul UDFs call this
+    once per Arrow batch, and regenerating the matrix per batch was
+    wasted executor work).  Callers treat the array as read-only."""
     import numpy as np
 
     return np.random.default_rng(seed).standard_normal((dim, n_bits))
@@ -717,7 +747,20 @@ def srp_band_keys(
     long key per band (so band widths beyond 64 total bits work — the
     corpus-aware sizing needs hundreds of projections at 10⁹⁺ vectors).
     Identical vectors get identical keys in every band by construction.
+    The udf object is cached per (bits, bands, seed) — see
+    :func:`_mins_udf` for why (cloudpickle + registration per query
+    construction is pure driver overhead).
     """
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _srp_keys_udf(bits_per_band, num_bands, seed)(F.col(vec_col)).alias(
+            "keys"
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _srp_keys_udf(bits_per_band: int, num_bands: int, seed: int):
     import pandas as pd
 
     total_bits = bits_per_band * num_bands
@@ -740,9 +783,7 @@ def srp_band_keys(
         )
         return pd.Series(list(packed))
 
-    return embeddings.select(
-        F.col(id_col).alias("id"), keys(F.col(vec_col)).alias("keys")
-    )
+    return keys
 
 
 def embedding_dup_pairs_bucketed(
