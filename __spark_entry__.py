@@ -672,14 +672,16 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     # greatest(...,0): ANSI mode raises on a negative slice length for
-    # empty docs; DuckDB's list_slice just returns [] — clamp both sides
-    dups = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-        ).alias("text"),
+    # empty docs; DuckDB's list_slice just returns [] — clamp both sides.
+    # Built as one selectExpr string (identical expression tree; the
+    # per-Column form cost ~30 py4j round trips per query construction,
+    # and every near-dup query builds this scaffold)
+    toks = "filter(split(text, ' '), x -> x != '')"
+    dups = docs.filter("doc_id < 25").selectExpr(
+        "doc_id + 100000 as doc_id",
+        f"concat_ws(' ', slice({toks}, 1, greatest(size({toks}) - 1, 0)))"
+        " as text",
     )
     return docs.unionByName(dups)
 

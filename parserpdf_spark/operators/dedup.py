@@ -32,11 +32,13 @@ def _tokenized(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     """(doc_id, toks) for docs with ≥ n tokens — the token array is
     projected ONCE into a column so downstream gram expressions reuse it
     (the inline form re-evaluated the split per referencing expression:
-    size, transform and filter each paid it)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
-    return docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= n
-    )
+    size, transform and filter each paid it).  Built as one selectExpr
+    string — the per-Column form cost ~15 py4j round trips per query
+    construction for the identical expression tree."""
+    return docs.selectExpr(
+        "doc_id",
+        f"filter(split(lower(`{text_col}`), ' '), x -> x != '') as toks",
+    ).filter(f"size(toks) >= {int(n)}")
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -45,12 +47,12 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     fewer than ``n`` tokens yield no shingles (matching the SQL
     formulation ``range(len - n + 1)``; a truncated partial gram would
     silently diverge from the oracle)."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
-    )
-    return _tokenized(docs, n, text_col).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    return _tokenized(docs, n, text_col).selectExpr(
+        "doc_id",
+        "explode(array_distinct(transform("
+        f"sequence(0, size(toks) - {int(n)}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {int(n)}))"
+        "))) as shingle",
     )
 
 
@@ -199,12 +201,12 @@ def jaccard_pairs(
                 .distinct()
             )
         # distinct-shingle ARRAY per candidate doc (never exploded)
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
-        )
-        arrs = _tokenized(docs, n, text_col).select(
-            "doc_id", F.array_distinct(grams).alias("sh")
+        arrs = _tokenized(docs, n, text_col).selectExpr(
+            "doc_id",
+            "array_distinct(transform("
+            f"sequence(0, size(toks) - {int(n)}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {int(n)}))"
+            ")) as sh",
         )
         pa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         pb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -314,19 +316,13 @@ def minhash_signatures(
     # every shingle hash) is gone entirely.  The min over the same value
     # multiset is identical, so signatures are bit-identical to the
     # aggregate form.
-    hashes = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.pmod(
-                F.xxhash64(
-                    *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
-                ),
-                F.lit(_MERSENNE31),
-            ),
-        )
-    )
-    hashed = _tokenized(docs, n, text_col).select(
-        "doc_id", hashes.alias("hbase")
+    gram_args = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+    hashed = _tokenized(docs, n, text_col).selectExpr(
+        "doc_id",
+        "array_distinct(transform("
+        f"sequence(0, size(toks) - {int(n)}), "
+        f"i -> pmod(xxhash64({gram_args}), {_MERSENNE31}L)"
+        ")) as hbase",
     )
 
     mins = _mins_udf(tuple(coeffs))
@@ -825,23 +821,33 @@ def embedding_dup_pairs_bucketed(
         embeddings, id_col=id_col, vec_col=vec_col,
         bits_per_band=rows, num_bands=num_bands, seed=seed,
     )
-    # The band-bucket self-join references the signature subtree on
-    # both sides, and the Arrow-batch matmul stage would run twice
-    # (exchange reuse does not fire under AQE); signatures are
-    # 8·num_bands bytes/vector — the persisted-intermediate a
-    # production job writes to a table anyway.  NOTE (r6 third pass):
-    # the one-shuffle groupBy form (:func:`_bucket_pairs`, taken for
-    # MinHash) was A/B'd here and measured SLOWER (1.51 → 1.91 s at 20k
-    # vectors × 29 bands): with corpus-aware keys nearly every bucket is
-    # a singleton, so collect_list's per-group ObjectHashAggregate
-    # overhead exceeds the exchange it saves, while the minhash win came
-    # from its far heavier signature subtree and 16 fixed bands.  The
-    # join form stays — measured, not assumed.
-    if persist_signatures:
-        sigs = sigs.persist()
+    # The band-bucket self-join references its input subtree on both
+    # sides, and the Arrow-batch matmul stage would run twice
+    # (exchange reuse does not fire under AQE) — so the intermediate is
+    # persisted: the persisted-intermediate a production job writes to
+    # a table anyway.  r6 third pass, two measured refinements:
+    # - the one-shuffle groupBy form (:func:`_bucket_pairs`, taken for
+    #   MinHash) was A/B'd here and measured SLOWER (1.51 → 1.91 s at
+    #   20k vectors × 29 bands): with corpus-aware keys nearly every
+    #   bucket is a singleton, so collect_list's per-group
+    #   ObjectHashAggregate overhead exceeds the exchange it saves.
+    #   The join form stays — measured, not assumed.
+    # - what IS persisted changed: the exploded bucket rows,
+    #   repartitioned by (band, key), instead of the signature rows.
+    #   The cached relation then exposes hashpartitioning(band, key)
+    #   (AQE leaves cached-plan partitioning alone), so BOTH join sides
+    #   read it co-partitioned and the join needs NO further exchange —
+    #   the band rows cross the wire once (the repartition) instead of
+    #   twice (A/B'd: 1.31→1.21 / 1.04→0.96 s paired runs, candidates
+    #   identical).  The repartition width follows the session shuffle
+    #   conf — scale-adaptive, nothing hard-coded.  If a future engine
+    #   re-plans cached partitioning the join degrades to the old
+    #   two-exchange shape, never to an error.
     buckets = sigs.select(
         "id", F.posexplode("keys").alias("band", "key")
     )
+    if persist_signatures:
+        buckets = buckets.repartition("band", "key").persist()
     a = buckets.select(F.col("id").alias("id_a"), "band", "key")
     b = buckets.select(F.col("id").alias("id_b"), "band", "key")
     cands = (
